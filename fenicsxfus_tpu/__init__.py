@@ -1,0 +1,48 @@
+"""fenicsxfus_tpu — TPU-native spectral-element focused-ultrasound framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+adeebkor/fenicsx-fus: high-order GLL spectral elements on quad/hex meshes,
+matrix-free mass/stiffness operators as batched tensor contractions,
+explicit RK and SDIRK time integration, linear / lossy / Westervelt
+acoustics, windowed transducer sources, Sommerfeld ABCs, heterogeneous DG-0
+media, and SPMD mesh sharding over TPU ICI.
+
+Public API mirrors the reference package exports
+(``python/src/fenicsxfus/__init__.py:14-31``).
+"""
+
+from .core.mesh import (  # noqa: F401
+    Mesh,
+    create_box,
+    create_interval,
+    create_rectangle,
+    tag_boundaries,
+)
+from .models.linear import LinearSpectralExplicit, LinearSpectralImplicit  # noqa: F401
+from .models.lossy import LossySpectralExplicit, LossySpectralImplicit  # noqa: F401
+from .models.westervelt import WesterveltSpectralExplicit  # noqa: F401
+from .ops.operators import SEMOperators  # noqa: F401
+from .utils import (  # noqa: F401
+    compute_diffusivity_of_sound,
+    compute_eval_params,
+    eval_function,
+)
+
+__all__ = [
+    "Mesh",
+    "create_interval",
+    "create_rectangle",
+    "create_box",
+    "tag_boundaries",
+    "SEMOperators",
+    "LinearSpectralExplicit",
+    "LinearSpectralImplicit",
+    "LossySpectralExplicit",
+    "LossySpectralImplicit",
+    "WesterveltSpectralExplicit",
+    "compute_diffusivity_of_sound",
+    "compute_eval_params",
+    "eval_function",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,188 @@
+"""Host-side mesh representation and structured generators.
+
+The framework's mesh analogue of DOLFINx ``mesh`` + ``meshtags`` (reference:
+``python/src/fenicsxfus/_linear.py:67-78`` consumes a mesh plus facet tags):
+a pure-numpy container holding
+
+* ``vertices`` [Nv, dim],
+* ``cells`` [Nc, 2**dim] multilinear cell→vertex connectivity in tensor
+  (lexicographic, axis-0 slowest) local order,
+* ``facet_tags``: tag → [Nf, 2] array of (cell index, local face) pairs,
+  with local face ``2*axis + side`` meaning the facet {xi_axis == side},
+* optional ``cell_tags`` [Nc] for cell-wise (DG-0) material regions, the
+  analogue of the reference's 2-medium cell tags
+  (``python/examples/lossy_planar2d_4_exp/lossy_planar2d_4_exp.py:76-88``).
+
+Structured interval/rectangle/box generators mirror DOLFINx
+``create_interval`` / ``create_rectangle`` / ``create_box`` for
+quadrilateral/hexahedral cells; boundary facets can be tagged with
+coordinate predicates like the reference tests
+(``python/tests/test_linearspectral_1d.py:38-52``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Mesh:
+    dim: int
+    vertices: np.ndarray  # [Nv, dim] float64
+    cells: np.ndarray  # [Nc, 2**dim] int64, tensor-lex local vertex order
+    facet_tags: dict[int, np.ndarray] = field(default_factory=dict)
+    cell_tags: np.ndarray | None = None  # [Nc] int
+    # For structured meshes: cells per axis (enables fast paths / slab partition).
+    grid_shape: tuple[int, ...] | None = None
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    def cell_vertices(self) -> np.ndarray:
+        """Coordinates of each cell's vertices: [Nc, 2**dim, dim]."""
+        return self.vertices[self.cells]
+
+    def h_min(self) -> float:
+        """Minimum edge length over all cells (used for the CFL timestep,
+        cf. reference ``cpp/.../W-H131-WATER/main.cpp:75-77``)."""
+        verts = self.cell_vertices()
+        d = self.dim
+        h = np.inf
+        for a in range(d):
+            stride = 2 ** (d - 1 - a)
+            for base in range(2**d):
+                if (base // stride) % 2 == 0:
+                    e = verts[:, base + stride, :] - verts[:, base, :]
+                    h = min(h, float(np.min(np.linalg.norm(e, axis=-1))))
+        return h
+
+
+def _lattice_cells(n: tuple[int, ...]) -> np.ndarray:
+    """Cell→vertex connectivity for a vertex lattice with n[a] cells per axis."""
+    d = len(n)
+    vdims = tuple(na + 1 for na in n)
+    cells_per_axis = [np.arange(na) for na in n]
+    grids = np.meshgrid(*cells_per_axis, indexing="ij")
+    c0 = [g.reshape(-1) for g in grids]  # cell lattice coords, axis-0 slowest
+    ncells = c0[0].size
+    conn = np.zeros((ncells, 2**d), dtype=np.int64)
+    for local in range(2**d):
+        offs = [(local >> (d - 1 - a)) & 1 for a in range(d)]
+        idx = [c0[a] + offs[a] for a in range(d)]
+        conn[:, local] = np.ravel_multi_index(idx, vdims)
+    return conn
+
+
+def _structured(
+    n: tuple[int, ...], lo: tuple[float, ...], hi: tuple[float, ...]
+) -> Mesh:
+    d = len(n)
+    axes = [np.linspace(lo[a], hi[a], n[a] + 1) for a in range(d)]
+    grids = np.meshgrid(*axes, indexing="ij")
+    verts = np.stack([g.reshape(-1) for g in grids], axis=-1)
+    cells = _lattice_cells(n)
+    return Mesh(dim=d, vertices=verts, cells=cells, grid_shape=tuple(n))
+
+
+def create_interval(nx: int, a: float = 0.0, b: float = 1.0) -> Mesh:
+    return _structured((nx,), (a,), (b,))
+
+
+def create_rectangle(
+    n: tuple[int, int],
+    lo: tuple[float, float] = (0.0, 0.0),
+    hi: tuple[float, float] = (1.0, 1.0),
+) -> Mesh:
+    return _structured(n, lo, hi)
+
+
+def create_box(
+    n: tuple[int, int, int],
+    lo: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    hi: tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> Mesh:
+    return _structured(n, lo, hi)
+
+
+def boundary_facets(mesh: Mesh) -> np.ndarray:
+    """All exterior facets as an [Nf, 2] array of (cell, local_face).
+
+    A facet is exterior iff it is referenced by exactly one cell; interior
+    facets appear twice (once from each side). Identified by the sorted
+    vertex set of the facet.
+    """
+    d = mesh.dim
+    facet_list = []
+    keys = []
+    for face in range(2 * d):
+        axis, side = divmod(face, 2)
+        locs = _face_local_vertices(d, axis, side)
+        fverts = mesh.cells[:, locs]  # [Nc, 2**(d-1)]
+        fkey = np.sort(fverts, axis=1)
+        keys.append(fkey)
+        facet_list.append(
+            np.stack(
+                [np.arange(mesh.num_cells), np.full(mesh.num_cells, face)], axis=1
+            )
+        )
+    all_keys = np.concatenate(keys, axis=0)
+    all_facets = np.concatenate(facet_list, axis=0)
+    _, inv, counts = np.unique(
+        all_keys, axis=0, return_inverse=True, return_counts=True
+    )
+    exterior = counts[inv] == 1
+    return all_facets[exterior]
+
+
+def _face_local_vertices(d: int, axis: int, side: int) -> np.ndarray:
+    """Local vertex indices (tensor-lex order) of the face {xi_axis == side}."""
+    locs = []
+    for local in range(2**d):
+        offs = [(local >> (d - 1 - a)) & 1 for a in range(d)]
+        if offs[axis] == side:
+            locs.append(local)
+    return np.array(locs, dtype=np.int64)
+
+
+def facet_midpoints(mesh: Mesh, facets: np.ndarray) -> np.ndarray:
+    """Midpoint coordinates of each (cell, face) facet: [Nf, dim]."""
+    d = mesh.dim
+    out = np.zeros((len(facets), d))
+    for face in range(2 * d):
+        axis, side = divmod(face, 2)
+        sel = facets[:, 1] == face
+        if not sel.any():
+            continue
+        locs = _face_local_vertices(d, axis, side)
+        verts = mesh.vertices[mesh.cells[facets[sel, 0]][:, locs]]
+        out[sel] = verts.mean(axis=1)
+    return out
+
+
+def tag_boundaries(mesh: Mesh, tags: dict[int, callable], default: int | None = None):
+    """Tag exterior facets by midpoint predicates (first matching tag wins).
+
+    ``tags`` maps tag id → predicate(x) with x of shape [Nf, dim] returning a
+    boolean mask. Facets matching no predicate get ``default`` (or are left
+    untagged). Mirrors the reference's ``locate_entities_boundary`` +
+    ``meshtags`` pattern (``python/tests/test_linearspectral_1d.py:38-52``).
+    """
+    facets = boundary_facets(mesh)
+    mids = facet_midpoints(mesh, facets)
+    assigned = np.full(len(facets), -1, dtype=np.int64)
+    for tag, pred in tags.items():
+        mask = np.asarray(pred(mids.T)) & (assigned == -1)
+        assigned[mask] = tag
+    if default is not None:
+        assigned[assigned == -1] = default
+    mesh.facet_tags = {
+        int(t): facets[assigned == t] for t in np.unique(assigned) if t >= 0
+    }
+    return mesh

@@ -1,0 +1,153 @@
+"""Shared base for the spectral wave models.
+
+Handles what every model in the reference package repeats per class
+(``python/src/fenicsxfus/_linear.py``, ``_lossy.py``, ``_westervelt.py``):
+material coefficients (scalar or cell-wise DG-0), the windowed transducer
+source g(t) and its derivative on facet tag 1, the Sommerfeld ABC on facet
+tag 2, and the explicit-RK / DIRK drivers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.operators import SEMOperators
+from .common import dirk_tables, make_rk_scan, source_window, step_sizes
+
+
+def _cellwise(val, num_cells):
+    """DG-0 coefficient as a float64 numpy [Nc] array."""
+    arr = np.asarray(val, dtype=np.float64)
+    if arr.ndim == 0:
+        return np.full(num_cells, float(arr))
+    assert arr.shape == (num_cells,)
+    return arr
+
+
+class SpectralModelBase:
+    """Common state: operators, coefficients, source, u_n/v_n storage."""
+
+    SOURCE_TAG = 1
+    ABC_TAG = 2
+
+    def __init__(self, mesh, meshtags, degree, freq0, p0, s0, dt, dtype):
+        if meshtags is not None:
+            mesh.facet_tags = dict(meshtags)
+        self.mesh = mesh
+        self.degree = degree
+        self.dtype = dtype
+        self.freq = float(freq0)
+        self.w0 = 2.0 * np.pi * self.freq
+        self.p0 = float(p0)
+        self.s0 = float(s0)
+        self.T = 1.0 / self.freq
+        self.alpha = 4.0  # source window length in periods (reference default)
+        self.dt = float(dt)
+        self.ops = SEMOperators(mesh, degree, dtype)
+        self.u_n = jnp.zeros(self.ops.ndofs, dtype)
+        self.v_n = jnp.zeros(self.ops.ndofs, dtype)
+        self.t = 0.0
+
+    # -- source -----------------------------------------------------------
+    def source_amplitudes(self, t):
+        """g(t), dg/dt(t): windowed CW drive (reference ``_lossy.py:169-189``)."""
+        win, dwin = source_window(t, self.freq, self.alpha)
+        amp = self.p0 * self.w0 / self.s0
+        g = win * amp * jnp.cos(self.w0 * t)
+        dg = dwin * amp * jnp.cos(self.w0 * t) - win * self.p0 * self.w0**2 / self.s0 * jnp.sin(self.w0 * t)
+        return g, dg
+
+    def init(self):
+        """Zero initial conditions (reference ``init()``)."""
+        self.u_n = jnp.zeros(self.ops.ndofs, self.dtype)
+        self.v_n = jnp.zeros(self.ops.ndofs, self.dtype)
+        return self
+
+    def number_of_dofs(self) -> int:
+        return self.ops.ndofs
+
+
+class ExplicitModelBase(SpectralModelBase):
+    """Explicit-RK models: subclasses define ``rhs(t, u, v) -> (ku, kv)``."""
+
+    def __init__(self, mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, dt, dtype)
+        self.rk_order = int(rk_order)
+        self._solve = None  # built lazily after subclass setup
+
+    def _build(self):
+        self._solve = make_rk_scan(self.rhs, self.rk_order, self.dtype)
+
+    def f0(self, t, u, v):
+        return v
+
+    def f1(self, t, u, v):
+        return self.rhs(t, u, v)[1]
+
+    def rk(self, t0: float, tf: float):
+        if self._solve is None:
+            self._build()
+        u, v, t = self._solve(self.u_n, self.v_n, t0, tf, self.dt)
+        self.u_n, self.v_n, self.t = u, v, float(t)
+        return self.u_n, self.v_n, self.t
+
+
+class ImplicitModelBase(SpectralModelBase):
+    """SDIRK models: subclasses define
+
+    * ``lhs(tau, x) -> A x``      (A = mass + tau-dependent stiffness/ABC)
+    * ``lhs_diag(tau)``           (assembled diagonal of A, for Jacobi)
+    * ``rhs(tau, t, u, v) -> b``  (stage right-hand side)
+    """
+
+    def __init__(self, mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype,
+                 cg_rtol=1e-8, cg_maxiter=2000):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, dt, dtype)
+        self.rk_order = int(rk_order)
+        self.A_tab, self.b_tab, self.c_tab = dirk_tables(self.rk_order)
+        self.cg_rtol = cg_rtol
+        self.cg_maxiter = cg_maxiter
+
+    def dirk(self, t0: float, tf: float):
+        import jax
+
+        from ..ops.cg import cg_solve
+
+        A_tab, b_tab, c_tab = self.A_tab, self.b_tab, self.c_tab
+        n = len(b_tab)
+
+        def step(carry, dtn):
+            u0, v0, t = carry
+            tau = dtn * A_tab[0, 0]
+            dinv = 1.0 / self.lhs_diag(tau)
+            kus, kvs = [], []
+            u_acc, v_acc = u0, v0
+            for i in range(n):
+                un, vn = u0, v0
+                for j in range(i):
+                    un = un + (A_tab[i, j] * dtn) * kus[j]
+                    vn = vn + (A_tab[i, j] * dtn) * kvs[j]
+                tn = t + c_tab[i] * dtn
+                b = self.rhs(tau, tn, un, vn)
+                x0 = kvs[-1] if kvs else jnp.zeros_like(v0)
+                kv, _ = cg_solve(
+                    lambda x: self.lhs(tau, x), b, x0, dinv,
+                    rtol=self.cg_rtol, maxiter=self.cg_maxiter,
+                )
+                ku = vn + tau * kv
+                kus.append(ku)
+                kvs.append(kv)
+                u_acc = u_acc + (b_tab[i] * dtn) * ku
+                v_acc = v_acc + (b_tab[i] * dtn) * kv
+            return (u_acc, v_acc, t + dtn), None
+
+        @jax.jit
+        def run(u, v, t0v, dts):
+            (u, v, t), _ = jax.lax.scan(step, (u, v, t0v), dts)
+            return u, v, t
+
+        dts = jnp.asarray(step_sizes(t0, tf, self.dt), self.dtype)
+        u, v, t = run(self.u_n, self.v_n, jnp.asarray(t0, self.dtype), dts)
+        self.u_n, self.v_n, self.t = u, v, float(t)
+        return self.u_n, self.v_n, self.t

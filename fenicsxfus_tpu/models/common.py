@@ -1,0 +1,141 @@
+"""Shared time-integration machinery for the wave models.
+
+Butcher tables (explicit RK 1-4 and SDIRK 1-4) match the reference exactly
+(``python/src/fenicsxfus/_linear.py:40-65`` explicit, ``:543-585`` DIRK).
+The whole time loop is a single jitted ``lax.scan`` over per-step dt values;
+each step unrolls the RK stages so XLA fuses operator application, diagonal
+mass inverse and AXPY stage updates into one compiled program — the
+TPU-native version of the reference's per-stage PETSc vector kernel loop
+(``cpp/fenicsx-sf/common/Linear.hpp:228-314``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def explicit_tables(order: int):
+    """Explicit RK tables: forward Euler, Ralston 2/3, classical RK4.
+
+    These schemes use only the previous stage slope, encoded as a vector
+    ``a`` (stage shift multiplies k_{i-1}) exactly like the reference.
+    """
+    if order == 1:
+        return np.array([0.0]), np.array([1.0]), np.array([0.0])
+    if order == 2:
+        return (
+            np.array([0.0, 2 / 3]),
+            np.array([1 / 4, 3 / 4]),
+            np.array([0.0, 2 / 3]),
+        )
+    if order == 3:
+        return (
+            np.array([0.0, 1 / 2, 3 / 4]),
+            np.array([2 / 9, 1 / 3, 4 / 9]),
+            np.array([0.0, 1 / 2, 3 / 4]),
+        )
+    if order == 4:
+        return (
+            np.array([0.0, 0.5, 0.5, 1.0]),
+            np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]),
+            np.array([0.0, 0.5, 0.5, 1.0]),
+        )
+    raise ValueError(f"unsupported explicit RK order {order}")
+
+
+def dirk_tables(order: int):
+    """SDIRK tables: backward Euler, Crouzeix 2/3-stage, 4-stage."""
+    if order == 1:
+        return np.array([[1.0]]), np.array([1.0]), np.array([1.0])
+    if order == 2:
+        return (
+            np.array([[1 / 4, 0.0], [1 / 2, 1 / 4]]),
+            np.array([1 / 2, 1 / 2]),
+            np.array([1 / 4, 3 / 4]),
+        )
+    if order == 3:
+        q = 2 * np.cos(np.pi / 18) / np.sqrt(3)
+        return (
+            np.array(
+                [
+                    [(1 + q) / 2, 0, 0],
+                    [-q / 2, (1 + q) / 2, 0],
+                    [1 + q, -(1 + 2 * q), (1 + q) / 2],
+                ]
+            ),
+            np.array([1 / (6 * q**2), 1 - 1 / (3 * q**2), 1 / (6 * q**2)]),
+            np.array([(1 + q) / 2, 1 / 2, (1 - q) / 2]),
+        )
+    if order == 4:
+        return (
+            np.array(
+                [
+                    [1 / 2, 0, 0, 0],
+                    [1 / 6, 1 / 2, 0, 0],
+                    [-1 / 2, 1 / 2, 1 / 2, 0],
+                    [3 / 2, -3 / 2, 1 / 2, 1 / 2],
+                ]
+            ),
+            np.array([3 / 2, -3 / 2, 1 / 2, 1 / 2]),
+            np.array([1 / 2, 2 / 3, 1 / 2, 1.0]),
+        )
+    raise ValueError(f"unsupported DIRK order {order}")
+
+
+def step_sizes(t0: float, tf: float, dt: float) -> np.ndarray:
+    """Per-step dt values reproducing the reference loop
+    ``while t < tf: dt = min(dt, tf - t)`` (``_linear.py:475-476``)."""
+    span = tf - t0
+    n_full = int(np.floor(span / dt + 1e-12))
+    rem = span - n_full * dt
+    dts = [dt] * n_full
+    if rem > 1e-12 * max(abs(span), 1.0):
+        dts.append(rem)
+    return np.array(dts if dts else [0.0])
+
+
+def source_window(t, freq: float, alpha: float = 4.0):
+    """Cosine ramp window over ``alpha`` source periods and its derivative
+    (reference ``_lossy.py:169-180``)."""
+    T = 1.0 / freq
+    ramp = 0.5 * (1.0 - jnp.cos(freq * jnp.pi * t / alpha))
+    dramp = 0.5 * jnp.pi * freq / alpha * jnp.sin(freq * jnp.pi * t / alpha)
+    on = t < T * alpha
+    return jnp.where(on, ramp, 1.0), jnp.where(on, dramp, 0.0)
+
+
+def make_rk_scan(rhs, order: int, dtype):
+    """Build a jitted explicit-RK time loop ``run(u, v, t0, dts) -> (u, v, t)``.
+
+    ``rhs(t, u, v) -> (ku, kv)`` is the model's slope function (f0, f1 fused).
+    """
+    a, b, c = explicit_tables(order)
+
+    def step(carry, dtn):
+        u0, v0, t = carry
+        ku = jnp.zeros_like(u0)
+        kv = jnp.zeros_like(v0)
+        u_acc, v_acc = u0, v0
+        for i in range(len(b)):
+            un = u0 + (a[i] * dtn) * ku
+            vn = v0 + (a[i] * dtn) * kv
+            tn = t + c[i] * dtn
+            ku, kv = rhs(tn, un, vn)
+            u_acc = u_acc + (b[i] * dtn) * ku
+            v_acc = v_acc + (b[i] * dtn) * kv
+        return (u_acc, v_acc, t + dtn), None
+
+    @jax.jit
+    def run(u, v, t0, dts):
+        (u, v, t), _ = jax.lax.scan(step, (u, v, t0), dts)
+        return u, v, t
+
+    def solve(u, v, t0: float, tf: float, dt: float):
+        dts = jnp.asarray(step_sizes(t0, tf, dt), dtype)
+        return run(u, v, jnp.asarray(t0, dtype), dts)
+
+    return solve

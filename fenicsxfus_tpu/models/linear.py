@@ -1,0 +1,87 @@
+"""Linear second-order wave equation solvers (TPU-native).
+
+Physics (reference ``python/src/fenicsxfus/_linear.py``):
+
+    (1/ρ0 c0²) ∂²u/∂t² − ∇·(1/ρ0 ∇u) = 0
+
+rewritten first-order in time (u, v = ∂u/∂t), with a windowed transducer
+Neumann source g(t) on facet tag 1 and a first-order Sommerfeld ABC
+(1/ρ0 c0) ∂u/∂t on facet tag 2. GLL collocation makes the mass diagonal, so
+the explicit solvers never solve a linear system (reference ``:428``); the
+implicit SDIRK variant solves (M + τ²K + τ·ABC)·kv = b with matrix-free
+CG+Jacobi (reference ``:623-647``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import ExplicitModelBase, ImplicitModelBase, _cellwise
+
+
+class LinearSpectralExplicit(ExplicitModelBase):
+    """Explicit-RK linear wave solver (reference ``_linear.py:258-513``)."""
+
+    def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
+                 rk_order, dt, dtype=jnp.float32):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)
+        nc = mesh.num_cells
+        c = _cellwise(c0, nc)
+        rho = _cellwise(rho0, nc)
+        ops = self.ops
+        # LHS lumped mass: ∫ (1/ρc²) u φ dx   (reference a-form :349-353)
+        self.m = ops.assemble_diag(1.0 / (rho * c * c))
+        self.inv_m = 1.0 / self.m
+        # RHS pieces (reference L-form :355-361)
+        self.stiff_coeff = jnp.asarray(1.0 / rho, dtype)
+        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self._build()
+
+    def rhs(self, t, u, v):
+        g, _ = self.source_amplitudes(t)
+        b = (
+            -self.ops.stiffness_apply([u], [self.stiff_coeff])
+            + g * self.src_vec
+            - self.abc_diag * v
+        )
+        return v, b * self.inv_m
+
+
+class LinearSpectralImplicit(ImplicitModelBase):
+    """SDIRK linear wave solver (reference ``_linear.py:516-817``)."""
+
+    def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
+                 rk_order, dt, dtype=jnp.float64, cg_rtol=1e-8, cg_maxiter=2000):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt,
+                         dtype, cg_rtol, cg_maxiter)
+        nc = mesh.num_cells
+        c = _cellwise(c0, nc)
+        rho = _cellwise(rho0, nc)
+        ops = self.ops
+        self.m = ops.assemble_diag(1.0 / (rho * c * c))
+        self.stiff_coeff = jnp.asarray(1.0 / rho, dtype)
+        self.kdiag = ops.stiffness_diag(1.0 / rho)
+        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+
+    def lhs(self, tau, x):
+        """A x = M x + τ² K x + τ ABC x  (reference a-form :623-631)."""
+        return (
+            self.m * x
+            + tau * tau * self.ops.stiffness_apply([x], [self.stiff_coeff])
+            + tau * self.abc_diag * x
+        )
+
+    def lhs_diag(self, tau):
+        return self.m + tau * tau * self.kdiag + tau * self.abc_diag
+
+    def rhs(self, tau, t, u, v):
+        """b = −K(u + τ v) + g·src − ABC·v  (reference L-form :633-639)."""
+        g, _ = self.source_amplitudes(t)
+        return (
+            -self.ops.stiffness_apply([u + tau * v], [self.stiff_coeff])
+            + g * self.src_vec
+            - self.abc_diag * v
+        )

@@ -1,0 +1,110 @@
+"""Lossy (viscoelastic) wave equation solvers (TPU-native).
+
+Physics (reference ``python/src/fenicsxfus/_lossy.py``): linear wave equation
+plus a diffusivity-of-sound term δ ∇²(∂u/∂t):
+
+    (1/ρ0 c0²) u_tt − ∇·(1/ρ0 ∇u) − (δ0/ρ0 c0²) ∇²(u_t) = 0
+
+Weak-form additions vs linear (reference a/L-forms ``:107-128``):
+* LHS mass gains a facet term ∫_Γ2 (δ/ρc³) u φ ds,
+* RHS gains −∫ (δ/ρc²) ∇v·∇φ dx and the source derivative
+  ∫_Γ1 (δ/ρc²) dg φ ds.
+
+Because DG-0 coefficients commute with the element contractions, the two RHS
+stiffness terms collapse into ONE operator application on the
+coefficient-combined field (see ``ops/operators.py``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import ExplicitModelBase, ImplicitModelBase, _cellwise
+
+
+class LossySpectralExplicit(ExplicitModelBase):
+    """Explicit-RK lossy solver (reference ``_lossy.py:12-294``)."""
+
+    def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
+                 rk_order, dt, dtype=jnp.float32):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)
+        nc = mesh.num_cells
+        c = _cellwise(c0, nc)
+        rho = _cellwise(rho0, nc)
+        delta = _cellwise(delta0, nc)
+        ops = self.ops
+        # LHS: volume mass + δ-ABC facet mass (reference a-form :107-115)
+        self.m = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
+            self.ABC_TAG, delta / (rho * c**3)
+        )
+        self.inv_m = 1.0 / self.m
+        self.coeff_u = jnp.asarray(1.0 / rho, dtype)
+        self.coeff_v = jnp.asarray(delta / (rho * c * c), dtype)
+        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.src_vec_d = ops.facet_vector(self.SOURCE_TAG, delta / (rho * c * c))
+        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self._build()
+
+    def rhs(self, t, u, v):
+        g, dg = self.source_amplitudes(t)
+        b = (
+            -self.ops.stiffness_apply([u, v], [self.coeff_u, self.coeff_v])
+            + g * self.src_vec
+            + dg * self.src_vec_d
+            - self.abc_diag * v
+        )
+        return v, b * self.inv_m
+
+
+class LossySpectralImplicit(ImplicitModelBase):
+    """SDIRK lossy solver (reference ``_lossy.py:297-628``)."""
+
+    def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
+                 rk_order, dt, dtype=jnp.float64, cg_rtol=1e-8, cg_maxiter=2000):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt,
+                         dtype, cg_rtol, cg_maxiter)
+        nc = mesh.num_cells
+        c = _cellwise(c0, nc)
+        rho = _cellwise(rho0, nc)
+        delta = _cellwise(delta0, nc)
+        ops = self.ops
+        self.m = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
+            self.ABC_TAG, delta / (rho * c**3)
+        )
+        self.coeff_u = jnp.asarray(1.0 / rho, dtype)
+        self.coeff_v = jnp.asarray(delta / (rho * c * c), dtype)
+        self.kdiag_u = ops.stiffness_diag(1.0 / rho)
+        self.kdiag_v = ops.stiffness_diag(delta / (rho * c * c))
+        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.src_vec_d = ops.facet_vector(self.SOURCE_TAG, delta / (rho * c * c))
+        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+
+    def lhs(self, tau, x):
+        """A x = M x + τ²K_{1/ρ} x + τK_{δ/ρc²} x + τ ABC x
+        (reference a-form ``_lossy.py:410-427``)."""
+        return (
+            self.m * x
+            + self.ops.stiffness_apply(
+                [tau * tau * x, tau * x], [self.coeff_u, self.coeff_v]
+            )
+            + tau * self.abc_diag * x
+        )
+
+    def lhs_diag(self, tau):
+        return (
+            self.m
+            + tau * tau * self.kdiag_u
+            + tau * self.kdiag_v
+            + tau * self.abc_diag
+        )
+
+    def rhs(self, tau, t, u, v):
+        """b = −K_{1/ρ}(u + τ v) − K_{δ/ρc²}(v) + g·src + dg·srcδ − ABC·v
+        (reference L-form ``_lossy.py:429-445``)."""
+        g, dg = self.source_amplitudes(t)
+        return (
+            -self.ops.stiffness_apply([u + tau * v, v], [self.coeff_u, self.coeff_v])
+            + g * self.src_vec
+            + dg * self.src_vec_d
+            - self.abc_diag * v
+        )

@@ -1,0 +1,57 @@
+"""Westervelt nonlinear acoustics solver (TPU-native).
+
+Physics (reference ``python/src/fenicsxfus/_westervelt.py``): the lossy wave
+equation plus the 2β/(ρ²c⁴)·u·u_tt nonlinearity, which makes the lumped mass
+*solution-dependent* — the reference reassembles the LHS vector every RK
+stage (``:230-234``). With GLL collocation the nonlinear mass term is again
+diagonal, so here the per-stage "reassembly" is one fused elementwise op:
+
+    m(u) = m0 − d2 ∘ u,     d2 = assembled diag of 2β/(ρ²c⁴)
+
+and the nonlinear RHS term +∫ 2β/(ρ²c⁴) v² φ dx is  d2 ∘ v².
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .base import ExplicitModelBase, _cellwise
+
+
+class WesterveltSpectralExplicit(ExplicitModelBase):
+    """Explicit-RK Westervelt solver (reference ``_westervelt.py:12-329``)."""
+
+    def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, beta0, freq0,
+                 p0, s0, rk_order, dt, dtype=jnp.float32):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)
+        nc = mesh.num_cells
+        c = _cellwise(c0, nc)
+        rho = _cellwise(rho0, nc)
+        delta = _cellwise(delta0, nc)
+        beta = _cellwise(beta0, nc)
+        ops = self.ops
+        # Baseline (solution-independent) lumped mass (reference a-form :108-128)
+        self.m0 = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
+            self.ABC_TAG, delta / (rho * c**3)
+        )
+        # Nonlinear diagonal: 2β/(ρ²c⁴)
+        self.d2 = ops.assemble_diag(2.0 * beta / (rho * rho * c**4))
+        self.coeff_u = jnp.asarray(1.0 / rho, dtype)
+        self.coeff_v = jnp.asarray(delta / (rho * c * c), dtype)
+        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.src_vec_d = ops.facet_vector(self.SOURCE_TAG, delta / (rho * c * c))
+        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self._build()
+
+    def rhs(self, t, u, v):
+        g, dg = self.source_amplitudes(t)
+        # Per-stage nonlinear lumped mass (reference f1 LHS reassembly :230-234)
+        m = self.m0 - self.d2 * u
+        b = (
+            -self.ops.stiffness_apply([u, v], [self.coeff_u, self.coeff_v])
+            + g * self.src_vec
+            + dg * self.src_vec_d
+            - self.abc_diag * v
+            + self.d2 * (v * v)
+        )
+        return v, b / m

@@ -1,0 +1,283 @@
+"""Matrix-free spectral-element operators as batched TPU tensor contractions.
+
+TPU-native redesign of the reference's operator layer
+(``cpp/fenicsx-sf/common/spectral_op.hpp``):
+
+* ``MassSpectral3D`` (:30-107): with collocated GLL quadrature every
+  mass-type volume/facet term is *diagonal*, so instead of a per-cell
+  gather→scale→scatter kernel we assemble, once, a global diagonal vector
+  (``assemble_diag`` / ``facet_vector``) and apply it as a fused elementwise
+  multiply — zero gather traffic per RK stage.
+* ``StiffnessSpectral3D`` (:133-243): the sum-factorised action becomes a
+  batched einsum chain over all cells at once —
+  gather → D-contractions per axis → symmetric-G pointwise transform →
+  transposed D-contractions → deterministic segment-sum assembly
+  (replacing MPI ``scatter_rev(+)``, ``common/Linear.hpp:206``).
+* A uniform-mesh fast path precomputes the single reference element matrix
+  K_ref [N**d, N**d] and applies the whole stiffness as ONE large MXU matmul
+  ``[Nc, N**d] @ K_ref^T`` (the TPU-appropriate version of the reference's
+  dense-tabulation variant ``cpp/fenicsx-pc/common/precompute_op.hpp``).
+
+Because DG-0 coefficients are constant per cell they commute with the
+element-local contractions, so multi-term stiffness sums (e.g. the lossy
+RHS −K_{1/ρ}(u) − K_{δ/ρc²}(v), reference ``_lossy.py:117-128``) collapse to
+a single operator application on the coefficient-combined gathered field.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import (
+    facet_factors,
+    is_uniform_mesh,
+    volume_factors,
+)
+from ..core.gll import diff_matrix
+from ..core.space import build_space
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _einsum(*args):
+    return jnp.einsum(*args, precision=_PRECISION)
+
+
+class SEMOperators:
+    """All device-resident operator data for one function space.
+
+    Parameters
+    ----------
+    mesh : core.mesh.Mesh
+    degree : polynomial degree p (GLL basis has N = p+1 nodes per axis)
+    dtype : device dtype for fields and operator data (float32 on TPU,
+        float64 for CPU validation runs)
+    """
+
+    def __init__(self, mesh, degree: int, dtype=jnp.float32):
+        self.mesh = mesh
+        self.degree = degree
+        self.dtype = dtype
+        self.space = build_space(mesh, degree)
+        sp = self.space
+        d, N = mesh.dim, sp.N
+        self.d, self.N = d, N
+        self.ndofs = sp.ndofs
+        self.num_cells = mesh.num_cells
+
+        wdetJ, G = volume_factors(mesh, N)  # [Nc, Nq], [Nc, Nq, nsym]
+        self._wdetJ_np = wdetJ
+        self._G_np = G
+        self.gidx = jnp.asarray(sp.dofmap.reshape((mesh.num_cells,) + (N,) * d))
+        self.perm = jnp.asarray(sp.scatter_perm)
+        self.segids = jnp.asarray(sp.scatter_segids)
+        self.wdetJ = jnp.asarray(wdetJ.reshape((-1,) + (N,) * d), dtype)
+        self.G = jnp.asarray(G.reshape((-1,) + (N,) * d + (G.shape[-1],)), dtype)
+        self.D = jnp.asarray(diff_matrix(N), dtype)
+
+        self.uniform = is_uniform_mesh(mesh)
+        self.K_ref = None
+        if self.uniform:
+            K = _reference_stiffness_matrix(N, d, G[0])
+            self.K_ref = jnp.asarray(K, dtype)
+
+        self._facet_cache: dict[int, tuple] = {}
+
+    # ---------------------------------------------------------------- helpers
+
+    def _cells_shape(self, x):
+        return (self.num_cells,) + (self.N,) * self.d
+
+    def scatter(self, ycells: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic cell→global additive assembly (segment-sum plan)."""
+        flat = ycells.reshape(-1)[self.perm]
+        return jax.ops.segment_sum(
+            flat, self.segids, num_segments=self.ndofs, indices_are_sorted=True
+        )
+
+    def gather(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x[self.gidx]
+
+    # -------------------------------------------------------- diagonal (mass)
+
+    def assemble_diag(self, cell_coeff) -> jnp.ndarray:
+        """Assembled diagonal of the coefficient-weighted mass matrix:
+        m[i] = Σ_{cells c ∋ i} coeff_c · w_i · |detJ|_c(i).
+
+        Reference: lumped mass via GLL quadrature, ``_linear.py:348-353``.
+        """
+        coeff = _as_cell_array(cell_coeff, self.num_cells, self.dtype)
+        shape = (-1,) + (1,) * self.d
+        return self.scatter(coeff.reshape(shape) * self.wdetJ)
+
+    # --------------------------------------------------------------- stiffness
+
+    def gather_combine(self, xs, coeffs) -> jnp.ndarray:
+        """Gather fields and combine with per-cell DG0 coefficients:
+        z_c = Σ_f coeff[f, c] · x_f[dofmap[c]].   [Nc, N, ...]
+        """
+        z = None
+        shape = (-1,) + (1,) * self.d
+        for x, coeff in zip(xs, coeffs):
+            c = _as_cell_array(coeff, self.num_cells, self.dtype)
+            term = c.reshape(shape) * x[self.gidx]
+            z = term if z is None else z + term
+        return z
+
+    def stiffness_apply(self, xs, coeffs) -> jnp.ndarray:
+        """y = Σ_f K_{coeff_f}(x_f)  where K_c(u)·φ_i = ∫ c ∇u·∇φ_i dx.
+
+        ``xs``: sequence of global vectors [ndofs]; ``coeffs``: matching
+        sequence of per-cell coefficients ([Nc] array or scalar).
+        Reference kernels: ``spectral_op.hpp:173-243`` (sum-factorised) and
+        ``precompute_op.hpp:294-486`` (dense tabulation).
+        """
+        z = self.gather_combine(xs, coeffs)
+        if self.K_ref is not None:
+            nd = self.N**self.d
+            y = _einsum(
+                "cn,mn->cm", z.reshape(self.num_cells, nd), self.K_ref
+            )
+        else:
+            y = self._stiffness_cells(z)
+        return self.scatter(y)
+
+    def stiffness_cells_general(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self._stiffness_cells(z)
+
+    def _stiffness_cells(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Sum-factorised per-cell stiffness action on gathered fields."""
+        D, G, d = self.D, self.G, self.d
+        if d == 1:
+            du = _einsum("qi,ci->cq", D, z)
+            g = G[..., 0] * du
+            return _einsum("qi,cq->ci", D, g)
+        if d == 2:
+            d0 = _einsum("qi,cij->cqj", D, z)
+            d1 = _einsum("qj,cij->ciq", D, z)
+            g0 = G[..., 0] * d0 + G[..., 1] * d1
+            g1 = G[..., 1] * d0 + G[..., 2] * d1
+            return _einsum("qi,cqj->cij", D, g0) + _einsum("qj,ciq->cij", D, g1)
+        d0 = _einsum("qi,cijk->cqjk", D, z)
+        d1 = _einsum("qj,cijk->ciqk", D, z)
+        d2 = _einsum("qk,cijk->cijq", D, z)
+        g0 = G[..., 0] * d0 + G[..., 1] * d1 + G[..., 2] * d2
+        g1 = G[..., 1] * d0 + G[..., 3] * d1 + G[..., 4] * d2
+        g2 = G[..., 2] * d0 + G[..., 4] * d1 + G[..., 5] * d2
+        return (
+            _einsum("qi,cqjk->cijk", D, g0)
+            + _einsum("qj,ciqk->cijk", D, g1)
+            + _einsum("qk,cijq->cijk", D, g2)
+        )
+
+    def stiffness_diag(self, cell_coeff) -> jnp.ndarray:
+        """Assembled diagonal of the stiffness matrix (Jacobi preconditioner
+        for the implicit DIRK path; reference uses PETSc PC Jacobi,
+        ``_linear.py:644-647``)."""
+        d, N = self.d, self.N
+        Dnp = diff_matrix(N)
+        G = self._G_np.reshape((self.num_cells,) + (N,) * d + (-1,))
+        from ..core.geometry import SYM_PAIRS
+
+        pairs = SYM_PAIRS[d]
+        sym = {p: i for i, p in enumerate(pairs)}
+        diag = np.zeros((self.num_cells,) + (N,) * d)
+        D2 = Dnp**2  # [q, n]
+        for a in range(d):
+            Gaa = G[..., sym[(a, a)]]
+            diag += np.moveaxis(
+                np.tensordot(np.moveaxis(Gaa, 1 + a, -1), D2, axes=([-1], [0])),
+                -1,
+                1 + a,
+            )
+        ddiag = np.diag(Dnp)
+        for a in range(d):
+            for b in range(a + 1, d):
+                Gab = G[..., sym[(a, b)]]
+                diag += 2.0 * Gab * np.expand_dims(
+                    ddiag, tuple(i for i in range(d) if i != a)
+                ) * np.expand_dims(ddiag, tuple(i for i in range(d) if i != b))
+        coeff = np.asarray(
+            _as_cell_array(cell_coeff, self.num_cells, jnp.float64)
+        ).reshape((-1,) + (1,) * d)
+        out = self.scatter(jnp.asarray(coeff * diag, self.dtype))
+        return out
+
+    # ------------------------------------------------------------------ facets
+
+    def facet_data(self, tag: int):
+        if tag not in self._facet_cache:
+            facets = self.mesh.facet_tags.get(tag, np.zeros((0, 2), np.int64))
+            gdofs, wdetJf, cells = facet_factors(self.mesh, self.space, facets)
+            self._facet_cache[tag] = (
+                jnp.asarray(gdofs.reshape(-1)),
+                jnp.asarray(wdetJf.reshape(-1), self.dtype),
+                cells,
+            )
+        return self._facet_cache[tag]
+
+    def facet_vector(self, tag: int, cell_coeff) -> jnp.ndarray:
+        """Assembled vector of ∫_{Γ_tag} coeff φ_i ds  (GLL-collocated, so
+        boundary mass terms are diagonal too). Used for the transducer source
+        vector (tag 1) and the Sommerfeld ABC diagonal (tag 2); reference
+        forms ``_linear.py:355-361``."""
+        gdofs, w, cells = self.facet_data(tag)
+        coeff = np.asarray(
+            _as_cell_array(cell_coeff, self.num_cells, jnp.float64)
+        )
+        cf = jnp.asarray(
+            np.repeat(coeff[cells], w.shape[0] // max(len(cells), 1))
+            if len(cells)
+            else np.zeros(0),
+            self.dtype,
+        )
+        vals = w * cf
+        return jnp.zeros(self.ndofs, self.dtype).at[gdofs].add(vals)
+
+    # ------------------------------------------------------------ interpolation
+
+    def dof_coords(self) -> np.ndarray:
+        return self.space.dof_coords
+
+    def interpolate(self, fn) -> jnp.ndarray:
+        """Nodal interpolation of ``fn(x)`` (x: [dim, ndofs]) onto the space —
+        GLL Lagrange interpolation is pointwise at the nodes."""
+        vals = fn(self.space.dof_coords.T)
+        return jnp.asarray(vals, self.dtype)
+
+
+def _as_cell_array(coeff, num_cells: int, dtype):
+    if np.isscalar(coeff) or getattr(coeff, "ndim", 1) == 0:
+        return jnp.full((num_cells,), coeff, dtype)
+    arr = jnp.asarray(coeff, dtype)
+    assert arr.shape == (num_cells,), f"DG0 coefficient must be [{num_cells}]"
+    return arr
+
+
+def _reference_stiffness_matrix(N: int, d: int, G0: np.ndarray) -> np.ndarray:
+    """Dense element stiffness K_ref[n, m] = Σ_q Σ_ab B_a[q,n] G[q,ab] B_b[q,m]
+    for the (shared) geometry factors ``G0`` [Nq, nsym] of a uniform mesh."""
+    from ..core.geometry import SYM_PAIRS
+
+    Dm = diff_matrix(N)
+    eye = np.eye(N)
+    # B[a]: [Nq, nd] derivative along reference axis a at the GLL lattice.
+    Bs = []
+    for a in range(d):
+        mats = [Dm if ax == a else eye for ax in range(d)]
+        B = mats[0]
+        for m in mats[1:]:
+            B = np.einsum("qn,rm->qrnm", B, m).reshape(
+                B.shape[0] * m.shape[0], B.shape[1] * m.shape[1]
+            )
+        Bs.append(B)
+    pairs = SYM_PAIRS[d]
+    K = np.zeros((N**d, N**d))
+    for idx, (a, b) in enumerate(pairs):
+        g = G0[:, idx]
+        K += np.einsum("qn,q,qm->nm", Bs[a], g, Bs[b])
+        if a != b:
+            K += np.einsum("qn,q,qm->nm", Bs[b], g, Bs[a])
+    return K
