@@ -25,6 +25,17 @@ def _cellwise(val, num_cells):
     return arr
 
 
+def source_amplitudes(consts: dict, t):
+    """g(t), dg/dt(t) for the windowed CW transducer drive — pure function of
+    the scalar consts (reference ``_lossy.py:169-189``)."""
+    win, dwin = source_window(t, consts["freq"], consts["alpha"])
+    p0, w0, s0 = consts["p0"], consts["w0"], consts["s0"]
+    amp = p0 * w0 / s0
+    g = win * amp * jnp.cos(w0 * t)
+    dg = dwin * amp * jnp.cos(w0 * t) - win * p0 * w0**2 / s0 * jnp.sin(w0 * t)
+    return g, dg
+
+
 class SpectralModelBase:
     """Common state: operators, coefficients, source, u_n/v_n storage."""
 
@@ -50,13 +61,19 @@ class SpectralModelBase:
         self.t = 0.0
 
     # -- source -----------------------------------------------------------
+    def base_consts(self) -> dict:
+        """Scalar constants every model's pure slope function needs."""
+        return {
+            "freq": self.freq,
+            "w0": self.w0,
+            "p0": self.p0,
+            "s0": self.s0,
+            "alpha": self.alpha,
+        }
+
     def source_amplitudes(self, t):
         """g(t), dg/dt(t): windowed CW drive (reference ``_lossy.py:169-189``)."""
-        win, dwin = source_window(t, self.freq, self.alpha)
-        amp = self.p0 * self.w0 / self.s0
-        g = win * amp * jnp.cos(self.w0 * t)
-        dg = dwin * amp * jnp.cos(self.w0 * t) - win * self.p0 * self.w0**2 / self.s0 * jnp.sin(self.w0 * t)
-        return g, dg
+        return source_amplitudes(self.base_consts(), t)
 
     def init(self):
         """Zero initial conditions (reference ``init()``)."""
@@ -74,10 +91,17 @@ class ExplicitModelBase(SpectralModelBase):
     def __init__(self, mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype):
         super().__init__(mesh, meshtags, degree, freq0, p0, s0, dt, dtype)
         self.rk_order = int(rk_order)
+        # ``consts``: every device array / scalar the pure slope function
+        # needs. Kept in one dict so the sharded solver (parallel/slab.py)
+        # can re-slice them per device and run the *identical* physics.
+        self.consts: dict = {}
         self._solve = None  # built lazily after subclass setup
 
     def _build(self):
         self._solve = make_rk_scan(self.rhs, self.rk_order, self.dtype)
+
+    def rhs(self, t, u, v):
+        return type(self).rhs_pure(self.ops, self.consts, t, u, v)
 
     def f0(self, t, u, v):
         return v

@@ -30,23 +30,26 @@ class LinearSpectralExplicit(ExplicitModelBase):
         c = _cellwise(c0, nc)
         rho = _cellwise(rho0, nc)
         ops = self.ops
+        self.consts = self.base_consts()
         # LHS lumped mass: ∫ (1/ρc²) u φ dx   (reference a-form :349-353)
-        self.m = ops.assemble_diag(1.0 / (rho * c * c))
-        self.inv_m = 1.0 / self.m
+        self.consts["inv_m"] = 1.0 / ops.assemble_diag(1.0 / (rho * c * c))
         # RHS pieces (reference L-form :355-361)
-        self.stiff_coeff = jnp.asarray(1.0 / rho, dtype)
-        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
-        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
+        self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
         self._build()
 
-    def rhs(self, t, u, v):
-        g, _ = self.source_amplitudes(t)
+    @staticmethod
+    def rhs_pure(ops, consts, t, u, v):
+        from .base import source_amplitudes
+
+        g, _ = source_amplitudes(consts, t)
         b = (
-            -self.ops.stiffness_apply([u], [self.stiff_coeff])
-            + g * self.src_vec
-            - self.abc_diag * v
+            -ops.stiffness_apply([u], [consts["coeff_u"]])
+            + g * consts["src_vec"]
+            - consts["abc_diag"] * v
         )
-        return v, b * self.inv_m
+        return v, b * consts["inv_m"]
 
 
 class LinearSpectralImplicit(ImplicitModelBase):

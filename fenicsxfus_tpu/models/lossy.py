@@ -33,27 +33,33 @@ class LossySpectralExplicit(ExplicitModelBase):
         rho = _cellwise(rho0, nc)
         delta = _cellwise(delta0, nc)
         ops = self.ops
+        self.consts = self.base_consts()
         # LHS: volume mass + δ-ABC facet mass (reference a-form :107-115)
-        self.m = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
-            self.ABC_TAG, delta / (rho * c**3)
+        self.consts["inv_m"] = 1.0 / (
+            ops.assemble_diag(1.0 / (rho * c * c))
+            + ops.facet_vector(self.ABC_TAG, delta / (rho * c**3))
         )
-        self.inv_m = 1.0 / self.m
-        self.coeff_u = jnp.asarray(1.0 / rho, dtype)
-        self.coeff_v = jnp.asarray(delta / (rho * c * c), dtype)
-        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
-        self.src_vec_d = ops.facet_vector(self.SOURCE_TAG, delta / (rho * c * c))
-        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
+        self.consts["coeff_v"] = jnp.asarray(delta / (rho * c * c), dtype)
+        self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.consts["src_vec_d"] = ops.facet_vector(
+            self.SOURCE_TAG, delta / (rho * c * c)
+        )
+        self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
         self._build()
 
-    def rhs(self, t, u, v):
-        g, dg = self.source_amplitudes(t)
+    @staticmethod
+    def rhs_pure(ops, consts, t, u, v):
+        from .base import source_amplitudes
+
+        g, dg = source_amplitudes(consts, t)
         b = (
-            -self.ops.stiffness_apply([u, v], [self.coeff_u, self.coeff_v])
-            + g * self.src_vec
-            + dg * self.src_vec_d
-            - self.abc_diag * v
+            -ops.stiffness_apply([u, v], [consts["coeff_u"], consts["coeff_v"]])
+            + g * consts["src_vec"]
+            + dg * consts["src_vec_d"]
+            - consts["abc_diag"] * v
         )
-        return v, b * self.inv_m
+        return v, b * consts["inv_m"]
 
 
 class LossySpectralImplicit(ImplicitModelBase):

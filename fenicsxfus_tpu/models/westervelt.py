@@ -30,28 +30,34 @@ class WesterveltSpectralExplicit(ExplicitModelBase):
         delta = _cellwise(delta0, nc)
         beta = _cellwise(beta0, nc)
         ops = self.ops
+        self.consts = self.base_consts()
         # Baseline (solution-independent) lumped mass (reference a-form :108-128)
-        self.m0 = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
+        self.consts["m0"] = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
             self.ABC_TAG, delta / (rho * c**3)
         )
         # Nonlinear diagonal: 2β/(ρ²c⁴)
-        self.d2 = ops.assemble_diag(2.0 * beta / (rho * rho * c**4))
-        self.coeff_u = jnp.asarray(1.0 / rho, dtype)
-        self.coeff_v = jnp.asarray(delta / (rho * c * c), dtype)
-        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
-        self.src_vec_d = ops.facet_vector(self.SOURCE_TAG, delta / (rho * c * c))
-        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self.consts["d2"] = ops.assemble_diag(2.0 * beta / (rho * rho * c**4))
+        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
+        self.consts["coeff_v"] = jnp.asarray(delta / (rho * c * c), dtype)
+        self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.consts["src_vec_d"] = ops.facet_vector(
+            self.SOURCE_TAG, delta / (rho * c * c)
+        )
+        self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
         self._build()
 
-    def rhs(self, t, u, v):
-        g, dg = self.source_amplitudes(t)
+    @staticmethod
+    def rhs_pure(ops, consts, t, u, v):
+        from .base import source_amplitudes
+
+        g, dg = source_amplitudes(consts, t)
         # Per-stage nonlinear lumped mass (reference f1 LHS reassembly :230-234)
-        m = self.m0 - self.d2 * u
+        m = consts["m0"] - consts["d2"] * u
         b = (
-            -self.ops.stiffness_apply([u, v], [self.coeff_u, self.coeff_v])
-            + g * self.src_vec
-            + dg * self.src_vec_d
-            - self.abc_diag * v
-            + self.d2 * (v * v)
+            -ops.stiffness_apply([u, v], [consts["coeff_u"], consts["coeff_v"]])
+            + g * consts["src_vec"]
+            + dg * consts["src_vec_d"]
+            - consts["abc_diag"] * v
+            + consts["d2"] * (v * v)
         )
         return v, b / m

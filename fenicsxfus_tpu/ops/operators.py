@@ -67,7 +67,20 @@ class SEMOperators:
         self.ndofs = sp.ndofs
         self.num_cells = mesh.num_cells
 
-        wdetJ, G = volume_factors(mesh, N)  # [Nc, Nq], [Nc, Nq, nsym]
+        self.uniform = is_uniform_mesh(mesh)
+        if self.uniform:
+            # Geometry is identical for every cell: precompute on one cell and
+            # broadcast ([1, Nq] leading axis) — O(1) memory instead of O(Nc).
+            from ..core.mesh import Mesh as _Mesh
+
+            sub = _Mesh(
+                dim=d,
+                vertices=mesh.vertices[mesh.cells[0]],
+                cells=np.arange(2**d, dtype=np.int64)[None, :],
+            )
+            wdetJ, G = volume_factors(sub, N)  # [1, Nq], [1, Nq, nsym]
+        else:
+            wdetJ, G = volume_factors(mesh, N)  # [Nc, Nq], [Nc, Nq, nsym]
         self._wdetJ_np = wdetJ
         self._G_np = G
         self.gidx = jnp.asarray(sp.dofmap.reshape((mesh.num_cells,) + (N,) * d))
@@ -77,7 +90,6 @@ class SEMOperators:
         self.G = jnp.asarray(G.reshape((-1,) + (N,) * d + (G.shape[-1],)), dtype)
         self.D = jnp.asarray(diff_matrix(N), dtype)
 
-        self.uniform = is_uniform_mesh(mesh)
         self.K_ref = None
         if self.uniform:
             K = _reference_stiffness_matrix(N, d, G[0])
@@ -178,7 +190,8 @@ class SEMOperators:
         ``_linear.py:644-647``)."""
         d, N = self.d, self.N
         Dnp = diff_matrix(N)
-        G = self._G_np.reshape((self.num_cells,) + (N,) * d + (-1,))
+        # leading axis is 1 (uniform-mesh broadcast) or num_cells
+        G = self._G_np.reshape((-1,) + (N,) * d + (self._G_np.shape[-1],))
         from ..core.geometry import SYM_PAIRS
 
         pairs = SYM_PAIRS[d]

@@ -24,4 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# Something in pytest startup imports jax before this conftest runs, so the
+# JAX_PLATFORMS env var is already snapshotted — override via config (works
+# any time before first backend use).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,103 @@
+"""Sharded (slab-decomposition) solver vs single-device equivalence.
+
+The reference's distributed correctness rests on DOLFINx's ghost-exchange
+guarantees (SURVEY §4); here we assert it directly: the shard_map solver on
+a virtual 8-device CPU mesh must reproduce the single-device solution to
+floating-point accuracy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsxfus_tpu import (
+    LinearSpectralExplicit,
+    LossySpectralExplicit,
+    WesterveltSpectralExplicit,
+    create_box,
+    create_interval,
+    create_rectangle,
+    tag_boundaries,
+)
+from fenicsxfus_tpu.parallel.slab import ShardedExplicitSolver
+
+
+def tagged(mesh, L):
+    return tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > L - 1e-12}
+    )
+
+
+def run_pair(make_model, ndev, t_end=0.05):
+    m1 = make_model()
+    m1.init()
+    u_ref, v_ref, _ = m1.rk(0.0, t_end)
+
+    m2 = make_model()
+    m2.init()
+    sharded = ShardedExplicitSolver(m2, ndev=ndev)
+    u_sh, v_sh, _ = sharded.rk(0.0, t_end)
+
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    err_u = np.max(np.abs(np.asarray(u_sh) - np.asarray(u_ref))) / scale
+    scale_v = np.max(np.abs(np.asarray(v_ref))) + 1e-300
+    err_v = np.max(np.abs(np.asarray(v_sh) - np.asarray(v_ref))) / scale_v
+    assert err_u < 1e-11, err_u
+    assert err_v < 1e-11, err_v
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_linear_1d(ndev):
+    def make():
+        mesh = tagged(create_interval(16, 0.0, 1.0), 1.0)
+        return LinearSpectralExplicit(
+            mesh, None, 4, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 5e-4, dtype=jnp.float64
+        )
+
+    run_pair(make, ndev)
+
+
+@pytest.mark.parametrize("ndev", [4])
+def test_sharded_linear_2d(ndev):
+    def make():
+        mesh = tagged(create_rectangle((8, 5), (0, 0), (1.0, 0.5)), 1.0)
+        return LinearSpectralExplicit(
+            mesh, None, 3, 1.5, 1.2, 10.0, 1.0, 1.5, 4, 4e-4, dtype=jnp.float64
+        )
+
+    run_pair(make, ndev)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_westervelt_3d(ndev):
+    def make():
+        mesh = tagged(create_box((8, 3, 3), (0, 0, 0), (1.0, 0.4, 0.4)), 1.0)
+        rng = np.random.default_rng(0)
+        c0 = 1.0 + 0.1 * rng.random(mesh.num_cells)  # heterogeneous medium
+        return WesterveltSpectralExplicit(
+            mesh, None, 3, c0, 1.0, 1e-4, 0.01, 10.0, 1.0, 1.0, 4, 4e-4,
+            dtype=jnp.float64,
+        )
+
+    run_pair(make, ndev)
+
+
+def test_sharded_lossy_2d():
+    def make():
+        mesh = tagged(create_rectangle((8, 4), (0, 0), (1.0, 0.5)), 1.0)
+        return LossySpectralExplicit(
+            mesh, None, 4, 1.0, 1.0, 1e-3, 10.0, 1.0, 1.0, 4, 3e-4,
+            dtype=jnp.float64,
+        )
+
+    run_pair(make, 4)
+
+
+def test_bad_partition_raises():
+    mesh = tagged(create_interval(9, 0.0, 1.0), 1.0)
+    m = LinearSpectralExplicit(
+        mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 1e-3, dtype=jnp.float64
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        ShardedExplicitSolver(m, ndev=4)
