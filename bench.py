@@ -1,0 +1,87 @@
+"""Headline benchmark: 3D linear p=4 RK4 solve throughput on one TPU chip.
+
+Reproduces the reference's ``measure_solver_speed`` experiment
+(``cpp/fenicsx-sf-naive/experiments/measure_solver_speed``): 3D linear wave,
+p=4 hex mesh, ~70.9M DOF, 101 RK4 steps. Reference best: 58.6 s on a 76-proc
+Icelake node ≈ 0.122 GDOF·RK4-steps/s/node (BASELINE.md). We report
+GDOF·RK4-updates/s on one TPU chip; vs_baseline is the node-for-chip ratio.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fenicsxfus_tpu import LinearSpectralExplicit, create_box, tag_boundaries
+
+    # Problem size: (p*nx+1)^3 DOFs. nx=104 → 417^3 = 72.5M DOF (matches the
+    # reference's 70.9M problem). Override with BENCH_NX for quick runs.
+    nx = int(os.environ.get("BENCH_NX", "104"))
+    degree = 4
+    nsteps = int(os.environ.get("BENCH_STEPS", "101"))
+    dtype = jnp.float32
+
+    c0, rho0 = 1500.0, 1000.0
+    f0 = 0.5e6
+    p0 = 60000.0
+    L = 0.12  # reference PH1/solver-speed domain scale (m)
+    mesh = create_box((nx, nx, nx), (0, 0, 0), (L, L, L))
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-9, 2: lambda x: x[0] > L - 1e-9}
+    )
+    h = L / nx
+    dt = 0.9 * h / (c0 * degree**2)
+
+    model = LinearSpectralExplicit(
+        mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
+    )
+    model.init()
+    ndofs = model.number_of_dofs()
+
+    # Build the jitted scan once, warm up, then time the full nsteps run.
+    from fenicsxfus_tpu.models.common import make_rk_scan
+
+    solve = make_rk_scan(model.rhs, 4, dtype)
+    u, v = model.u_n, model.v_n
+
+    # warmup with the SAME dts shape (scan length is baked into the
+    # compiled program — a different length would retrace). A scalar
+    # readback forces real completion: block_until_ready returns early on
+    # the axon relay backend.
+    uw, vw, _ = solve(u, v, 0.0, nsteps * dt, dt)
+    _ = float(jnp.sum(uw))
+
+    t0 = time.perf_counter()
+    uf, vf, tf = solve(u, v, 0.0, nsteps * dt, dt)
+    checksum = float(jnp.sum(jnp.abs(uf)))
+    elapsed = time.perf_counter() - t0
+
+    assert np.isfinite(checksum)
+    value = ndofs * nsteps / elapsed / 1e9
+    baseline = 0.122  # GDOF·RK4-steps/s per 76-proc Icelake node (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "GDOF-RK4-updates/sec/chip (3D linear p=4, "
+                f"{ndofs/1e6:.1f}M DOF, {nsteps} steps, fp32)",
+                "value": round(value, 4),
+                "unit": "GDOF-steps/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

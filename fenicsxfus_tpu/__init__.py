@@ -18,6 +18,20 @@ from .core.mesh import (  # noqa: F401
     create_rectangle,
     tag_boundaries,
 )
+from .analysis.analytical import (  # noqa: F401
+    PenetrableExact2D,
+    SoundHardExact2D,
+    SoundSoftExact2D,
+)
+from .models.experimental import (  # noqa: F401
+    LinearSpectralAdaptive,
+    LinearSpectralNewmark,
+    LinearSpectralS2,
+    LinearSpectralSciPy,
+    LinearSpectralSponge,
+    WesterveltSpectralAdaptive,
+    WesterveltSpectralSciPy,
+)
 from .models.linear import LinearSpectralExplicit, LinearSpectralImplicit  # noqa: F401
 from .models.lossy import LossySpectralExplicit, LossySpectralImplicit  # noqa: F401
 from .models.westervelt import WesterveltSpectralExplicit  # noqa: F401
@@ -40,6 +54,16 @@ __all__ = [
     "LossySpectralExplicit",
     "LossySpectralImplicit",
     "WesterveltSpectralExplicit",
+    "LinearSpectralNewmark",
+    "LinearSpectralS2",
+    "LinearSpectralSponge",
+    "LinearSpectralAdaptive",
+    "LinearSpectralSciPy",
+    "WesterveltSpectralAdaptive",
+    "WesterveltSpectralSciPy",
+    "SoundHardExact2D",
+    "SoundSoftExact2D",
+    "PenetrableExact2D",
     "compute_diffusivity_of_sound",
     "compute_eval_params",
     "eval_function",

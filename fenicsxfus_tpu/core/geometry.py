@@ -124,7 +124,7 @@ def facet_factors(mesh, space, facets: np.ndarray):
             continue
         axis, side = divmod(face, 2)
         local = space.face_local_dofs(axis, side)  # [nfn]
-        gdofs[sel] = space.dofmap[facets[sel, 0]][:, local]
+        gdofs[sel] = space.dofmap_for_cells(facets[sel, 0])[:, local]
         if d == 1:
             wdetJf[sel] = 1.0
             continue

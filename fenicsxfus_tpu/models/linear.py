@@ -23,6 +23,8 @@ from .base import ExplicitModelBase, ImplicitModelBase, _cellwise
 class LinearSpectralExplicit(ExplicitModelBase):
     """Explicit-RK linear wave solver (reference ``_linear.py:258-513``)."""
 
+    STIFF_KEYS = ("coeff_u",)
+
     def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float32):
         super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)

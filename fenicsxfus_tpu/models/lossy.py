@@ -25,6 +25,8 @@ from .base import ExplicitModelBase, ImplicitModelBase, _cellwise
 class LossySpectralExplicit(ExplicitModelBase):
     """Explicit-RK lossy solver (reference ``_lossy.py:12-294``)."""
 
+    STIFF_KEYS = ("coeff_u", "coeff_v")
+
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float32):
         super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)

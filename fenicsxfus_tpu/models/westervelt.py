@@ -21,6 +21,8 @@ from .base import ExplicitModelBase, _cellwise
 class WesterveltSpectralExplicit(ExplicitModelBase):
     """Explicit-RK Westervelt solver (reference ``_westervelt.py:12-329``)."""
 
+    STIFF_KEYS = ("coeff_u", "coeff_v")
+
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, beta0, freq0,
                  p0, s0, rk_order, dt, dtype=jnp.float32):
         super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)

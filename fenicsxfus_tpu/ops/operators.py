@@ -83,31 +83,83 @@ class SEMOperators:
             wdetJ, G = volume_factors(mesh, N)  # [Nc, Nq], [Nc, Nq, nsym]
         self._wdetJ_np = wdetJ
         self._G_np = G
-        self.gidx = jnp.asarray(sp.dofmap.reshape((mesh.num_cells,) + (N,) * d))
-        self.perm = jnp.asarray(sp.scatter_perm)
-        self.segids = jnp.asarray(sp.scatter_segids)
         self.wdetJ = jnp.asarray(wdetJ.reshape((-1,) + (N,) * d), dtype)
         self.G = jnp.asarray(G.reshape((-1,) + (N,) * d + (G.shape[-1],)), dtype)
         self.D = jnp.asarray(diff_matrix(N), dtype)
 
-        self.K_ref = None
-        if self.uniform:
-            K = _reference_stiffness_matrix(N, d, G[0])
-            self.K_ref = jnp.asarray(K, dtype)
+        # Lattice fast path (gather-free; see ops/lattice.py): available on
+        # axis-aligned uniform structured meshes — G has no off-diagonal
+        # coupling there.
+        self.lattice = None
+        if self.uniform and mesh.grid_shape is not None and d >= 1:
+            diag_idx = {1: [0], 2: [0, 2], 3: [0, 3, 5]}[d]
+            off = np.delete(G[0], diag_idx, axis=-1)
+            if off.size == 0 or np.max(np.abs(off)) < 1e-12 * np.max(np.abs(G[0])):
+                from .lattice import LatticeStiffness
+
+                lo = mesh.vertices.min(axis=0)
+                hi = mesh.vertices.max(axis=0)
+                h = [(hi[a] - lo[a]) / mesh.grid_shape[a] for a in range(d)]
+                self.lattice = LatticeStiffness(mesh.grid_shape, degree, h, dtype)
+        self._scales_cache: dict[int, object] = {}
 
         self._facet_cache: dict[int, tuple] = {}
+
+    # ------------------------------------------------- lazy gather/scatter maps
+    # The lattice fast path never touches these; building them eagerly would
+    # cost minutes of host time (argsort over Nc·N^d) at 70M DOF.
+
+    @property
+    def gidx(self):
+        if not hasattr(self, "_gidx"):
+            self._gidx = jnp.asarray(
+                self.space.dofmap.reshape((self.num_cells,) + (self.N,) * self.d)
+            )
+        return self._gidx
+
+    @property
+    def perm(self):
+        if not hasattr(self, "_perm"):
+            self._perm = jnp.asarray(self.space.scatter_perm)
+        return self._perm
+
+    @property
+    def segids(self):
+        if not hasattr(self, "_segids"):
+            self._segids = jnp.asarray(self.space.scatter_segids)
+        return self._segids
+
+    @property
+    def K_ref(self):
+        """Dense element stiffness (uniform meshes): the MXU-matmul analogue
+        of the reference's dense-tabulation variant (``fenicsx-pc``).
+        Superseded by the lattice path on axis-aligned meshes."""
+        if not hasattr(self, "_K_ref"):
+            if self.uniform:
+                K = _reference_stiffness_matrix(self.N, self.d, self._G_np[0])
+                self._K_ref = jnp.asarray(K, self.dtype)
+            else:
+                self._K_ref = None
+        return self._K_ref
 
     # ---------------------------------------------------------------- helpers
 
     def _cells_shape(self, x):
         return (self.num_cells,) + (self.N,) * self.d
 
+    def complete(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Finish a locally-assembled global vector. Identity on a single
+        device; the sharded solver overrides this with the neighbour halo
+        exchange (the ``scatter_rev(+)`` analogue)."""
+        return y
+
     def scatter(self, ycells: jnp.ndarray) -> jnp.ndarray:
         """Deterministic cell→global additive assembly (segment-sum plan)."""
         flat = ycells.reshape(-1)[self.perm]
-        return jax.ops.segment_sum(
+        y = jax.ops.segment_sum(
             flat, self.segids, num_segments=self.ndofs, indices_are_sorted=True
         )
+        return self.complete(y)
 
     def gather(self, x: jnp.ndarray) -> jnp.ndarray:
         return x[self.gidx]
@@ -119,7 +171,11 @@ class SEMOperators:
         m[i] = Σ_{cells c ∋ i} coeff_c · w_i · |detJ|_c(i).
 
         Reference: lumped mass via GLL quadrature, ``_linear.py:348-353``.
+        On the lattice path this is an index-free host fold.
         """
+        if self.lattice is not None and not isinstance(cell_coeff, jax.core.Tracer):
+            m = self.lattice.mass_diag(np.asarray(cell_coeff))
+            return jnp.asarray(m, self.dtype)
         coeff = _as_cell_array(cell_coeff, self.num_cells, self.dtype)
         shape = (-1,) + (1,) * self.d
         return self.scatter(coeff.reshape(shape) * self.wdetJ)
@@ -138,14 +194,44 @@ class SEMOperators:
             z = term if z is None else z + term
         return z
 
+    def pack_scales(self, coeff):
+        """Precompute the lattice-path scale data for one coefficient
+        (host-side; results cached by object identity). Constant coefficients
+        get rank-1 (broadcast) scales; fields get full mixed-rep tensors."""
+        key = id(coeff)
+        if key in self._scales_cache:
+            return self._scales_cache[key]
+        arr = np.asarray(coeff, np.float64)
+        if arr.ndim == 0:
+            packed = self.lattice.scales_const(float(arr))
+        elif arr.size == self.num_cells and np.ptp(arr) == 0:
+            packed = self.lattice.scales_const(float(arr.reshape(-1)[0]))
+        else:
+            packed = tuple(self.lattice.scales_field(arr))
+        self._scales_cache[key] = packed
+        return packed
+
+    def _is_packed(self, coeff) -> bool:
+        """Packed lattice scales are a tuple/list (per-axis); raw DG-0
+        coefficients are scalars or single arrays."""
+        return isinstance(coeff, (tuple, list))
+
     def stiffness_apply(self, xs, coeffs) -> jnp.ndarray:
         """y = Σ_f K_{coeff_f}(x_f)  where K_c(u)·φ_i = ∫ c ∇u·∇φ_i dx.
 
         ``xs``: sequence of global vectors [ndofs]; ``coeffs``: matching
-        sequence of per-cell coefficients ([Nc] array or scalar).
-        Reference kernels: ``spectral_op.hpp:173-243`` (sum-factorised) and
+        sequence of per-cell coefficients ([Nc] array or scalar), or
+        prepacked lattice scales (sharded path). Reference kernels:
+        ``spectral_op.hpp:173-243`` (sum-factorised) and
         ``precompute_op.hpp:294-486`` (dense tabulation).
         """
+        if self.lattice is not None:
+            pairs = []
+            for x, coeff in zip(xs, coeffs):
+                scales = coeff if self._is_packed(coeff) else self.pack_scales(coeff)
+                pairs.append((x.reshape(self.lattice.gdims), scales))
+            y = self.lattice.apply_scaled(pairs).reshape(-1)
+            return self.complete(y)
         z = self.gather_combine(xs, coeffs)
         if self.K_ref is not None:
             nd = self.N**self.d
@@ -156,28 +242,65 @@ class SEMOperators:
             y = self._stiffness_cells(z)
         return self.scatter(y)
 
+    def stiffness_apply_generic(self, xs, coeffs) -> jnp.ndarray:
+        """Force the gather→contract→segment-sum path (oracle for tests)."""
+        z = self.gather_combine(xs, coeffs)
+        y = self._stiffness_cells(z)
+        return self.scatter(y)
+
+    def pack_scales_nodal(self, coeff_nodal):
+        """Lattice scales for a nodal (per-DOF) coefficient (sponge layers)."""
+        key = id(coeff_nodal)
+        if key not in self._scales_cache:
+            self._scales_cache[key] = self.lattice.scales_nodal(
+                np.asarray(coeff_nodal)
+            )
+        return self._scales_cache[key]
+
+    def stiffness_apply_nodal(self, xs, nodal_coeffs) -> jnp.ndarray:
+        """y = Σ_f K_{c_f(x)}(x_f) with coefficients given at the GLL nodes
+        and evaluated at the (collocated) quadrature points — the spatially
+        varying sponge-layer term ∫ δ(x) ∇v·∇φ dx
+        (reference ``_experimental.py:898-918``)."""
+        if self.lattice is not None:
+            pairs = []
+            for x, cn in zip(xs, nodal_coeffs):
+                scales = cn if self._is_packed(cn) else self.pack_scales_nodal(cn)
+                pairs.append((x.reshape(self.lattice.gdims), scales))
+            y = self.lattice.apply_scaled(pairs).reshape(-1)
+            return self.complete(y)
+        y = None
+        for x, cn in zip(xs, nodal_coeffs):
+            q = cn[self.gidx]  # coefficient at the quadrature lattice
+            yc = self._stiffness_cells(x[self.gidx], qcoeff=q)
+            y = yc if y is None else y + yc
+        return self.scatter(y)
+
     def stiffness_cells_general(self, z: jnp.ndarray) -> jnp.ndarray:
         return self._stiffness_cells(z)
 
-    def _stiffness_cells(self, z: jnp.ndarray) -> jnp.ndarray:
-        """Sum-factorised per-cell stiffness action on gathered fields."""
+    def _stiffness_cells(self, z: jnp.ndarray, qcoeff=None) -> jnp.ndarray:
+        """Sum-factorised per-cell stiffness action on gathered fields.
+        ``qcoeff`` optionally scales the flux at each quadrature point
+        (nodal-coefficient variant)."""
         D, G, d = self.D, self.G, self.d
+        s = (lambda g: g * qcoeff) if qcoeff is not None else (lambda g: g)
         if d == 1:
             du = _einsum("qi,ci->cq", D, z)
-            g = G[..., 0] * du
+            g = s(G[..., 0] * du)
             return _einsum("qi,cq->ci", D, g)
         if d == 2:
             d0 = _einsum("qi,cij->cqj", D, z)
             d1 = _einsum("qj,cij->ciq", D, z)
-            g0 = G[..., 0] * d0 + G[..., 1] * d1
-            g1 = G[..., 1] * d0 + G[..., 2] * d1
+            g0 = s(G[..., 0] * d0 + G[..., 1] * d1)
+            g1 = s(G[..., 1] * d0 + G[..., 2] * d1)
             return _einsum("qi,cqj->cij", D, g0) + _einsum("qj,ciq->cij", D, g1)
         d0 = _einsum("qi,cijk->cqjk", D, z)
         d1 = _einsum("qj,cijk->ciqk", D, z)
         d2 = _einsum("qk,cijk->cijq", D, z)
-        g0 = G[..., 0] * d0 + G[..., 1] * d1 + G[..., 2] * d2
-        g1 = G[..., 1] * d0 + G[..., 3] * d1 + G[..., 4] * d2
-        g2 = G[..., 2] * d0 + G[..., 4] * d1 + G[..., 5] * d2
+        g0 = s(G[..., 0] * d0 + G[..., 1] * d1 + G[..., 2] * d2)
+        g1 = s(G[..., 1] * d0 + G[..., 3] * d1 + G[..., 4] * d2)
+        g2 = s(G[..., 2] * d0 + G[..., 4] * d1 + G[..., 5] * d2)
         return (
             _einsum("qi,cqjk->cijk", D, g0)
             + _einsum("qj,ciqk->cijk", D, g1)
@@ -248,6 +371,15 @@ class SEMOperators:
         )
         vals = w * cf
         return jnp.zeros(self.ndofs, self.dtype).at[gdofs].add(vals)
+
+    def facet_vector_nodal(self, tag: int, nodal_coeff) -> jnp.ndarray:
+        """Assembled ∫_{Γ_tag} c(x) φ_i ds with a per-DOF coefficient —
+        spatially windowed sources s(x)·g(t) (reference ``LinearSpectralS2``,
+        ``_experimental.py:431-439``) and the sponge δ(x)-weighted facet
+        mass (``:898-905``)."""
+        gdofs, w, cells = self.facet_data(tag)
+        prof = jnp.asarray(nodal_coeff, self.dtype)[gdofs]
+        return jnp.zeros(self.ndofs, self.dtype).at[gdofs].add(w * prof)
 
     # ------------------------------------------------------------ interpolation
 

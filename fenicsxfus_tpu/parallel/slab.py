@@ -40,16 +40,16 @@ AXIS = "x"
 
 
 class HaloSEMOperators(SEMOperators):
-    """SEMOperators on the local slab whose ``scatter`` completes the global
-    assembly with a neighbour halo exchange (must run inside shard_map)."""
+    """SEMOperators on the local slab whose assembly ``complete`` hook adds
+    the neighbour halo exchange (must run inside shard_map). Applies to both
+    the lattice fast path and the generic segment-sum path."""
 
     def configure_halo(self, ndev: int, plane_rows: int, row_size: int):
         self._ndev = ndev
         self._plane_rows = plane_rows  # local lattice rows along axis 0
         self._row_size = row_size  # dofs per lattice plane
 
-    def scatter(self, ycells):
-        y = super().scatter(ycells)
+    def complete(self, y):
         nd, rows, rs = self._ndev, self._plane_rows, self._row_size
         if nd == 1:
             return y
@@ -128,13 +128,26 @@ class SlabDecomposition:
         rows = [s[0]] + [s[d, 1:] for d in range(1, self.ndev)]
         return np.concatenate(rows, axis=0).reshape(-1)
 
-    def shard_consts(self, consts: dict, global_ndofs: int, global_ncells: int):
+    def shard_consts(
+        self,
+        consts: dict,
+        global_ndofs: int,
+        global_ncells: int,
+        stiff_keys=(),
+    ):
         """Split a model's consts dict: dof-vectors → stacked slabs,
-        cell-vectors → per-device slices, scalars pass through replicated."""
+        cell-vectors → per-device slices, scalars pass through replicated.
+
+        Entries named in ``stiff_keys`` are stiffness DG-0 coefficients: on
+        the lattice fast path they are pre-packed into per-device mixed-rep
+        scale tensors (host-side), because packing cannot happen on traced
+        values inside shard_map."""
         out = {}
         for k, val in consts.items():
             if np.isscalar(val) or getattr(val, "ndim", 0) == 0:
                 out[k] = val
+            elif k in stiff_keys and self.ops.lattice is not None:
+                out[k] = self._pack_stiff_coeff(val, global_ncells)
             elif val.shape == (global_ndofs,):
                 out[k] = self.to_stacked(val)
             elif val.shape == (global_ncells,):
@@ -143,6 +156,22 @@ class SlabDecomposition:
             else:
                 raise ValueError(f"const {k}: unexpected shape {val.shape}")
         return out
+
+    def _pack_stiff_coeff(self, coeff, global_ncells: int):
+        """Per-device lattice scale tensors, stacked [ndev, ...] and sharded.
+        The fold is over *local* cells only — the halo exchange completes the
+        interface-plane sums at run time."""
+        arr = np.asarray(coeff, np.float64).reshape(-1)
+        assert arr.size == global_ncells
+        per_dev = arr.reshape(self.ndev, self.cells_per_dev)
+        packed = [self.ops.lattice.scales_field(per_dev[d]) for d in range(self.ndev)]
+        stacked = tuple(
+            jax.device_put(
+                jnp.stack([packed[d][a] for d in range(self.ndev)]), self.sharding
+            )
+            for a in range(len(packed[0]))
+        )
+        return stacked
 
 
 class ShardedExplicitSolver:
@@ -162,7 +191,10 @@ class ShardedExplicitSolver:
             model.mesh, model.degree, ndev, model.dtype
         )
         self.consts = self.dec.shard_consts(
-            model.consts, model.ops.ndofs, model.mesh.num_cells
+            model.consts,
+            model.ops.ndofs,
+            model.mesh.num_cells,
+            stiff_keys=getattr(type(model), "STIFF_KEYS", ()),
         )
         self.rhs_pure = type(model).rhs_pure
         self._run = None

@@ -1,0 +1,126 @@
+"""Tests for the experimental solvers (Newmark, S2, sponge, adaptive RK)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsxfus_tpu import (
+    LinearSpectralAdaptive,
+    LinearSpectralNewmark,
+    LinearSpectralS2,
+    LinearSpectralSponge,
+    WesterveltSpectralAdaptive,
+    create_interval,
+    create_rectangle,
+    tag_boundaries,
+)
+from fenicsxfus_tpu.analysis.analytical import fubini, planewave
+from fenicsxfus_tpu.analysis.error import relative_l2_error
+from fenicsxfus_tpu.models.experimental import heaviside_window
+
+F0, C0, L = 10.0, 1.0, 1.0
+
+
+def mesh_1d(epw, degree):
+    nx = int(epw * (L * F0 / C0) + 1)
+    mesh = create_interval(nx, 0.0, L)
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > L - 1e-12}
+    )
+    return mesh, L / nx
+
+
+@pytest.mark.parametrize("degree, epw", [(4, 4)])
+def test_newmark_1d(degree, epw):
+    rho0 = 4.0
+    p0 = rho0 * C0
+    mesh, h = mesh_1d(epw, degree)
+    dt = 0.25 * h / (C0 * degree**2)  # Newmark-β needs smaller dt for accuracy
+    eqn = LinearSpectralNewmark(
+        mesh, None, degree, C0, rho0, F0, p0, C0, dt, dtype=jnp.float64
+    )
+    eqn.init()
+    u, v, w, tf = eqn.newmark(0.0, L / C0 + 16.0 / F0)
+    err = relative_l2_error(eqn.ops, u, lambda x: planewave(x[0], tf, C0, F0, p0))
+    assert err < 0.05, err  # same gate as the implicit reference solvers
+
+
+def test_adaptive_linear_1d():
+    rho0 = 4.0
+    p0 = rho0 * C0
+    mesh, h = mesh_1d(4, 4)
+    eqn = LinearSpectralAdaptive(
+        mesh, None, 4, C0, rho0, F0, p0, C0, dtype=jnp.float64,
+        atol=1e-9, rtol=1e-9,
+    )
+    eqn.init()
+    u, v, tf, steps = eqn.rk(0.0, L / C0 + 16.0 / F0)
+    assert steps > 0
+    err = relative_l2_error(eqn.ops, u, lambda x: planewave(x[0], tf, C0, F0, p0))
+    assert err < 1e-3, err
+
+
+def test_adaptive_westervelt_1d():
+    rho0, beta0 = 1.0, 0.01
+    p0 = rho0 * C0
+    mesh, h = mesh_1d(8, 4)
+    eqn = WesterveltSpectralAdaptive(
+        mesh, None, 4, C0, rho0, 0.0, beta0, F0, p0, C0, dtype=jnp.float64,
+        atol=1e-8, rtol=1e-8,
+    )
+    eqn.init()
+    u, v, tf, steps = eqn.rk(0.0, L / C0 + 8.0 / F0)
+    err = relative_l2_error(
+        eqn.ops, u, lambda x: fubini(x[0], tf, C0, F0, p0, rho0, beta0)
+    )
+    assert err < 1e-1, err
+
+
+def test_s2_windowed_source_2d():
+    """The windowed source should only excite the strip |y-center| small."""
+    rho0 = 1.0
+    p0 = 1.0
+    mesh = create_rectangle((20, 10), (0, -0.5), (1.0, 0.5))
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12}
+    )
+    eqn = LinearSpectralS2(
+        mesh, None, 3, C0, rho0, F0, p0, C0,
+        source_profile=heaviside_window(-0.1, 0.1, axis=1), dtype=jnp.float64,
+    )
+    eqn.init()
+    h = 1.0 / 20
+    u, v, tf = eqn.rk4(0.0, 0.2, 0.5 * h / (C0 * 9))
+    coords = eqn.ops.space.dof_coords
+    un = np.abs(np.asarray(u))
+    near = un[(np.abs(coords[:, 1]) < 0.08) & (coords[:, 0] < 0.15)]
+    far = un[(np.abs(coords[:, 1]) > 0.35) & (coords[:, 0] < 0.15)]
+    assert near.max() > 10 * max(far.max(), 1e-12)
+
+
+def test_sponge_damps_outgoing_wave():
+    """With a sponge pad the field in the pad decays; the solver stays stable."""
+    rho0 = 1.0
+    p0 = 1.0
+    # domain [0, 0.2] with sponge beyond 0.12 (reference geometry scale)
+    mesh = create_interval(40, 0.0, 0.2)
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 0.2 - 1e-12}
+    )
+    f0 = 0.5e6
+    c0 = 1500.0
+    delta0 = 2 * c0 / (2 * np.pi * f0) * 4.0  # strong damping scale
+    h = 0.2 / 40
+    dt = 0.25 * h / (c0 * 16)
+    eqn = LinearSpectralSponge(
+        mesh, None, 4, c0, rho0, delta0, f0, p0, c0, sponge_start=0.12,
+        dtype=jnp.float64,
+    )
+    eqn.init()
+    u, v, tf = eqn.rk4(0.0, 0.25 / f0 * 200, dt)
+    un = np.abs(np.asarray(u))
+    coords = eqn.ops.space.dof_coords[:, 0]
+    assert np.all(np.isfinite(un))
+    inside = un[coords < 0.10].max()
+    deep = un[coords > 0.19].max()
+    assert deep < 0.5 * inside  # wave decays through the sponge pad
