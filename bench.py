@@ -43,27 +43,40 @@ def main():
     h = L / nx
     dt = 0.9 * h / (c0 * degree**2)
 
+    import time as _t
+
+    _t0 = _t.perf_counter()
+
+    def _log(msg):
+        if os.environ.get("BENCH_VERBOSE"):
+            print(f"[{_t.perf_counter()-_t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    _log("building model")
     model = LinearSpectralExplicit(
         mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
     )
+    _log("model built")
     model.init()
     ndofs = model.number_of_dofs()
 
     # Build the jitted scan once, warm up, then time the full nsteps run.
-    from fenicsxfus_tpu.models.common import make_rk_scan
-
-    solve = make_rk_scan(model.rhs, 4, dtype)
+    model._build()
+    solve = model._solve
+    consts = model.consts
     u, v = model.u_n, model.v_n
 
     # warmup with the SAME dts shape (scan length is baked into the
     # compiled program — a different length would retrace). A scalar
     # readback forces real completion: block_until_ready returns early on
     # the axon relay backend.
-    uw, vw, _ = solve(u, v, 0.0, nsteps * dt, dt)
+    _log("warmup solve (compile)")
+    uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
+    _log("warmup dispatched; forcing readback")
     _ = float(jnp.sum(uw))
+    _log("warmup complete")
 
     t0 = time.perf_counter()
-    uf, vf, tf = solve(u, v, 0.0, nsteps * dt, dt)
+    uf, vf, tf = solve(consts, u, v, 0.0, nsteps * dt, dt)
     checksum = float(jnp.sum(jnp.abs(uf)))
     elapsed = time.perf_counter() - t0
 

@@ -32,7 +32,11 @@ from .models.experimental import (  # noqa: F401
     WesterveltSpectralAdaptive,
     WesterveltSpectralSciPy,
 )
-from .models.linear import LinearSpectralExplicit, LinearSpectralImplicit  # noqa: F401
+from .models.linear import (  # noqa: F401
+    LinearExplicit,
+    LinearSpectralExplicit,
+    LinearSpectralImplicit,
+)
 from .models.lossy import LossySpectralExplicit, LossySpectralImplicit  # noqa: F401
 from .models.westervelt import WesterveltSpectralExplicit  # noqa: F401
 from .ops.operators import SEMOperators  # noqa: F401
@@ -49,6 +53,7 @@ __all__ = [
     "create_box",
     "tag_boundaries",
     "SEMOperators",
+    "LinearExplicit",
     "LinearSpectralExplicit",
     "LinearSpectralImplicit",
     "LossySpectralExplicit",

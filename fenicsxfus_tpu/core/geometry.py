@@ -60,9 +60,20 @@ def _jacobians(verts: np.ndarray, dshape: np.ndarray) -> np.ndarray:
 
 def volume_factors(mesh, N: int) -> tuple[np.ndarray, np.ndarray]:
     """Return (wdetJ [Nc, N**d], G [Nc, N**d, nsym]) at the GLL lattice."""
-    d = mesh.dim
     x1, w1 = gll_points_weights_01(N)
-    dshape = _geom_grad_tensor([x1] * d)  # [N**d, 2**d, d]
+    return quadrature_factors(mesh, x1, w1)
+
+
+def quadrature_factors(
+    mesh, x1: np.ndarray, w1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Geometry factors at an arbitrary tensor-product quadrature rule
+    (per-axis points ``x1`` / weights ``w1`` on [0,1]) — used by the
+    non-collocated Gauss-quadrature operators (the reference's
+    ``fenicsx-pc`` variant decouples quadrature from basis degree,
+    ``cpp/fenicsx-pc/common/precompute_op.hpp``)."""
+    d = mesh.dim
+    dshape = _geom_grad_tensor([x1] * d)  # [nq**d, 2**d, d]
     verts = mesh.cell_vertices()
     J = _jacobians(verts, dshape)  # [Nc, Nq, d, d]
     detJ = np.linalg.det(J)

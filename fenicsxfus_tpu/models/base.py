@@ -98,7 +98,16 @@ class ExplicitModelBase(SpectralModelBase):
         self._solve = None  # built lazily after subclass setup
 
     def _build(self):
-        self._solve = make_rk_scan(self.rhs, self.rk_order, self.dtype)
+        ops = self.ops
+        if hasattr(type(self), "rhs_pure"):
+            rhs_pure = type(self).rhs_pure
+            rhs = lambda consts, t, u, v: rhs_pure(ops, consts, t, u, v)  # noqa: E731
+        else:
+            # models with instance-level rhs (e.g. the Gauss-quadrature
+            # LinearExplicit): consts stay closed over — acceptable at the
+            # small scales these are used at
+            rhs = lambda consts, t, u, v: self.rhs(t, u, v)  # noqa: E731
+        self._solve = make_rk_scan(rhs, self.rk_order, self.dtype)
 
     def rhs(self, t, u, v):
         return type(self).rhs_pure(self.ops, self.consts, t, u, v)
@@ -112,7 +121,7 @@ class ExplicitModelBase(SpectralModelBase):
     def rk(self, t0: float, tf: float):
         if self._solve is None:
             self._build()
-        u, v, t = self._solve(self.u_n, self.v_n, t0, tf, self.dt)
+        u, v, t = self._solve(self.consts, self.u_n, self.v_n, t0, tf, self.dt)
         self.u_n, self.v_n, self.t = u, v, float(t)
         return self.u_n, self.v_n, self.t
 

@@ -109,13 +109,18 @@ def source_window(t, freq: float, alpha: float = 4.0):
 
 
 def make_rk_scan(rhs, order: int, dtype):
-    """Build a jitted explicit-RK time loop ``run(u, v, t0, dts) -> (u, v, t)``.
+    """Build a jitted explicit-RK time loop
+    ``solve(consts, u, v, t0, tf, dt) -> (u, v, t)``.
 
-    ``rhs(t, u, v) -> (ku, kv)`` is the model's slope function (f0, f1 fused).
+    ``rhs(consts, t, u, v) -> (ku, kv)`` is the model's slope function with
+    its device data passed as the ``consts`` pytree. Consts are jit
+    *arguments* (not closure constants) on purpose: closed-over arrays get
+    baked into the serialized HLO, which breaks remote-compile backends at
+    large problem sizes.
     """
     a, b, c = explicit_tables(order)
 
-    def step(carry, dtn):
+    def step(consts, carry, dtn):
         u0, v0, t = carry
         ku = jnp.zeros_like(u0)
         kv = jnp.zeros_like(v0)
@@ -124,18 +129,18 @@ def make_rk_scan(rhs, order: int, dtype):
             un = u0 + (a[i] * dtn) * ku
             vn = v0 + (a[i] * dtn) * kv
             tn = t + c[i] * dtn
-            ku, kv = rhs(tn, un, vn)
+            ku, kv = rhs(consts, tn, un, vn)
             u_acc = u_acc + (b[i] * dtn) * ku
             v_acc = v_acc + (b[i] * dtn) * kv
         return (u_acc, v_acc, t + dtn), None
 
     @jax.jit
-    def run(u, v, t0, dts):
-        (u, v, t), _ = jax.lax.scan(step, (u, v, t0), dts)
+    def run(consts, u, v, t0, dts):
+        (u, v, t), _ = jax.lax.scan(partial(step, consts), (u, v, t0), dts)
         return u, v, t
 
-    def solve(u, v, t0: float, tf: float, dt: float):
+    def solve(consts, u, v, t0: float, tf: float, dt: float):
         dts = jnp.asarray(step_sizes(t0, tf, dt), dtype)
-        return run(u, v, jnp.asarray(t0, dtype), dts)
+        return run(consts, u, v, jnp.asarray(t0, dtype), dts)
 
     return solve

@@ -85,7 +85,8 @@ class LinearSpectralS2(ExplicitModelBase):
         prof_nodal = np.asarray(profile(ops.space.dof_coords.T), np.float64)
         self.consts = self.base_consts()
         self.consts["inv_m"] = 1.0 / ops.assemble_diag(1.0 / (rho * c * c))
-        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
+        self.raw_stiff = {"coeff_u": 1.0 / rho}
+        self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
         # ∫_Γ1 (1/ρ) s(x) φ ds — profile folded into the facet vector
         self.consts["src_vec"] = ops.facet_vector_nodal(
             self.SOURCE_TAG, prof_nodal / float(np.mean(rho))
@@ -209,7 +210,8 @@ class LinearSpectralSponge(ExplicitModelBase):
             self.ABC_TAG, delta / (rho0 * c0)
         )
         self.consts["inv_m"] = 1.0 / m
-        self.consts["coeff_u"] = jnp.asarray(np.full(nc, c0 * c0 / rho0), dtype)
+        self.raw_stiff = {"coeff_u": np.full(nc, c0 * c0 / rho0)}
+        self.consts["coeff_u"] = ops.stiff_coeff(np.full(nc, c0 * c0 / rho0))
         self.consts["delta_scales"] = ops.pack_scales_nodal(delta / rho0)
         self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, c0 * c0 / rho0)
         self.consts["src_vec_d"] = ops.facet_vector_nodal(

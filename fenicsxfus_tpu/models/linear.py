@@ -20,6 +20,52 @@ import numpy as np
 from .base import ExplicitModelBase, ImplicitModelBase, _cellwise
 
 
+class LinearExplicit(ExplicitModelBase):
+    """Explicit-RK linear solver with *Gauss* quadrature — the mass matrix is
+    consistent (non-diagonal) so every slope evaluation solves M·kv = b
+    (reference ``_linear.py:12-255`` uses an assembled matrix + LU; here the
+    mass action stays matrix-free and the solve is CG preconditioned with
+    the lumped-mass diagonal)."""
+
+    def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
+                 rk_order, dt, dtype=jnp.float64, nq=None,
+                 cg_rtol=1e-10, cg_maxiter=500):
+        super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype)
+        from ..ops.quadrature_ops import QuadratureOperators
+
+        nc = mesh.num_cells
+        c = _cellwise(c0, nc)
+        rho = _cellwise(rho0, nc)
+        ops = self.ops
+        self.qops = QuadratureOperators(ops, nq)
+        self.cg_rtol, self.cg_maxiter = cg_rtol, cg_maxiter
+        self.mass_coeff = jnp.asarray(1.0 / (rho * c * c), dtype)
+        self.stiff_coeff = jnp.asarray(1.0 / rho, dtype)
+        self.mdiag_inv = 1.0 / self.qops.mass_diag(1.0 / (rho * c * c))
+        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self._build()
+
+    def rhs(self, t, u, v):
+        from ..ops.cg import cg_solve
+
+        g, _ = self.source_amplitudes(t)
+        b = (
+            -self.qops.stiffness_apply([u], [self.stiff_coeff])
+            + g * self.src_vec
+            - self.abc_diag * v
+        )
+        kv, _ = cg_solve(
+            lambda x: self.qops.mass_apply(x, self.mass_coeff),
+            b,
+            b * self.mdiag_inv,
+            self.mdiag_inv,
+            rtol=self.cg_rtol,
+            maxiter=self.cg_maxiter,
+        )
+        return v, kv
+
+
 class LinearSpectralExplicit(ExplicitModelBase):
     """Explicit-RK linear wave solver (reference ``_linear.py:258-513``)."""
 
@@ -36,7 +82,8 @@ class LinearSpectralExplicit(ExplicitModelBase):
         # LHS lumped mass: ∫ (1/ρc²) u φ dx   (reference a-form :349-353)
         self.consts["inv_m"] = 1.0 / ops.assemble_diag(1.0 / (rho * c * c))
         # RHS pieces (reference L-form :355-361)
-        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
+        self.raw_stiff = {"coeff_u": 1.0 / rho}
+        self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
         self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
         self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
         self._build()

@@ -41,8 +41,9 @@ class LossySpectralExplicit(ExplicitModelBase):
             ops.assemble_diag(1.0 / (rho * c * c))
             + ops.facet_vector(self.ABC_TAG, delta / (rho * c**3))
         )
-        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
-        self.consts["coeff_v"] = jnp.asarray(delta / (rho * c * c), dtype)
+        self.raw_stiff = {"coeff_u": 1.0 / rho, "coeff_v": delta / (rho * c * c)}
+        self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
+        self.consts["coeff_v"] = ops.stiff_coeff(delta / (rho * c * c))
         self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
         self.consts["src_vec_d"] = ops.facet_vector(
             self.SOURCE_TAG, delta / (rho * c * c)

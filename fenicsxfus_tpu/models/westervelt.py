@@ -39,8 +39,9 @@ class WesterveltSpectralExplicit(ExplicitModelBase):
         )
         # Nonlinear diagonal: 2β/(ρ²c⁴)
         self.consts["d2"] = ops.assemble_diag(2.0 * beta / (rho * rho * c**4))
-        self.consts["coeff_u"] = jnp.asarray(1.0 / rho, dtype)
-        self.consts["coeff_v"] = jnp.asarray(delta / (rho * c * c), dtype)
+        self.raw_stiff = {"coeff_u": 1.0 / rho, "coeff_v": delta / (rho * c * c)}
+        self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
+        self.consts["coeff_v"] = ops.stiff_coeff(delta / (rho * c * c))
         self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
         self.consts["src_vec_d"] = ops.facet_vector(
             self.SOURCE_TAG, delta / (rho * c * c)

@@ -203,34 +203,100 @@ class LatticeStiffness:
         return t.reshape(-1)
 
     # -------------------------------------------------------------- apply
-    def _contract(self, x, mat, axis):
-        """Apply ``mat`` [rows, Ga] along ``axis`` of lattice tensor x."""
-        x = jnp.tensordot(mat, x, axes=[[1], [axis]])
-        return jnp.moveaxis(x, 0, axis)
+    #
+    # Per axis:  y_a = fold_a( Bᵀ ∘ ( S_a ∘ (B ∘ unfold_a(x)) ) )
+    # where unfold/fold are pure reshape/slice/concat ops over *chunks* of
+    # ``chunk`` cells (overlapping by one lattice plane) and B is the dense
+    # banded derivative of one chunk: [chunk·N, chunk·p+1]. The chunk size
+    # trades FLOPs (O(chunk) per point) against MXU efficiency (contraction
+    # dim K = chunk·p+1); both extremes were measured slower end-to-end
+    # (chunk=1: transpose-bound; chunk=n: O(G) FLOPs/point at HIGHEST
+    # precision). NO index gathers anywhere — XLA lowers scalar gathers
+    # near-serially on TPU (~1000× off roofline, measured).
+    #
+    # Contraction precision is pinned HIGHEST: with the TPU default
+    # (single-pass bf16) the solution drifts to ~3e-2 relative error over a
+    # few hundred RK4 steps (measured); HIGHEST holds ~3e-3 vs fp64.
+
+    def _chunk(self, axis: int) -> int:
+        """Cells per chunk along ``axis`` (largest divisor with K ≤ cap)."""
+        n, p = self.grid[axis], self.p
+        cap = getattr(self, "chunk_cap", 128)
+        best = 1
+        for c in range(1, n + 1):
+            if n % c == 0 and c * p + 1 <= cap:
+                best = c
+        return best
+
+    def _chunk_mat(self, axis: int) -> np.ndarray:
+        cc = self._chunk(axis)
+        return _banded_derivative(cc, self.p)  # [cc·N, cc·p+1]
+
+    def _unfold_j(self, x, axis, stride, width):
+        """[.., G_a, ..] → [.., nb·width, ..]: nb = n_lattice//stride
+        overlapping windows (window w starts at lattice index w·stride)."""
+        xm = jnp.moveaxis(x, axis, 0)
+        nb = (xm.shape[0] - 1) // stride
+        main = xm[:-1].reshape((nb, stride) + xm.shape[1:])
+        right = jnp.concatenate([main[1:, :1], xm[-1:][:, None]], axis=0)
+        cells = jnp.concatenate([main, right], axis=1)  # [nb, width, rest]
+        out = cells.reshape((nb * width,) + xm.shape[1:])
+        return jnp.moveaxis(out, 0, axis)
+
+    def _fold_j(self, y, axis, stride, width):
+        """Adjoint of ``_unfold_j``: overlapping windows → lattice add."""
+        ym = jnp.moveaxis(y, axis, 0)
+        nb = ym.shape[0] // width
+        cells = ym.reshape((nb, width) + ym.shape[1:])
+        rest = ym.shape[1:]
+        zero_row = jnp.zeros((1,) + rest, y.dtype)
+        y_main = jnp.concatenate(
+            [cells[:, :stride].reshape((nb * stride,) + rest), zero_row], axis=0
+        )
+        zz = jnp.zeros((nb, stride) + rest, y.dtype).at[:, stride - 1].set(
+            cells[:, stride]
+        )
+        y_last = jnp.concatenate([zero_row, zz.reshape((nb * stride,) + rest)], axis=0)
+        return jnp.moveaxis(y_main + y_last, 0, axis)
+
+    def _bcontract(self, x, mat, axis, rows_in):
+        """Apply ``mat`` [rows_out, rows_in] blockwise along ``axis``."""
+        xm = jnp.moveaxis(x, axis, 0)
+        nb = xm.shape[0] // rows_in
+        xm = xm.reshape((nb, rows_in) + xm.shape[1:])
+        out = jnp.einsum("qi,ci...->cq...", mat, xm, precision=_precision())
+        out = out.reshape((nb * mat.shape[0],) + out.shape[2:])
+        return jnp.moveaxis(out, 0, axis)
 
     def apply_scaled(self, xs_and_scales):
-        """y = Σ_f Σ_a B_aᵀ (S_a^f ∘ (B_a x_f)) on lattice-shaped tensors.
+        """y = Σ_f Σ_a fold_a(B_aᵀ(S_a^f ∘ B_a(unfold_a(x_f)))).
 
         ``xs_and_scales``: list of (x_lattice, scales) where scales is either
         the output of ``scales_const`` or ``scales_field``.
         """
         y = None
         for a in range(self.d):
+            cc = self._chunk(a)
+            stride = cc * self.p
+            width = stride + 1
+            Bc = jnp.asarray(self._chunk_mat(a), self.dtype)  # [cc·N, width]
             acc = None
             for x, scales in xs_and_scales:
-                u = self._contract(x, self.B[a], a)
+                win = self._unfold_j(x, a, stride, width)
+                u = self._bcontract(win, Bc, a, width)
                 s = scales[a]
                 if isinstance(s, tuple):  # (scalar, [vec per axis]) rank-1
                     fac, vecs = s
                     su = u * fac
                     for b in range(self.d):
                         shape = [1] * self.d
-                        shape[b] = len(vecs[b])
+                        shape[b] = np.asarray(vecs[b]).shape[0]
                         su = su * jnp.asarray(vecs[b], self.dtype).reshape(shape)
                 else:
                     su = u * s
                 acc = su if acc is None else acc + su
-            ya = self._contract(acc, self.B[a].T, a)
+            back = self._bcontract(acc, Bc.T, a, cc * self.N)
+            ya = self._fold_j(back, a, stride, width)
             y = ya if y is None else y + ya
         return y
 

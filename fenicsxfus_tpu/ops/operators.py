@@ -196,20 +196,24 @@ class SEMOperators:
 
     def pack_scales(self, coeff):
         """Precompute the lattice-path scale data for one coefficient
-        (host-side; results cached by object identity). Constant coefficients
-        get rank-1 (broadcast) scales; fields get full mixed-rep tensors."""
-        key = id(coeff)
-        if key in self._scales_cache:
-            return self._scales_cache[key]
+        (host-side). Constant coefficients get rank-1 (broadcast) scales;
+        fields get full mixed-rep tensors. NOTE: no identity-based caching —
+        ``id()`` of temporaries gets recycled and silently aliases fields."""
         arr = np.asarray(coeff, np.float64)
         if arr.ndim == 0:
-            packed = self.lattice.scales_const(float(arr))
-        elif arr.size == self.num_cells and np.ptp(arr) == 0:
-            packed = self.lattice.scales_const(float(arr.reshape(-1)[0]))
-        else:
-            packed = tuple(self.lattice.scales_field(arr))
-        self._scales_cache[key] = packed
-        return packed
+            return self.lattice.scales_const(float(arr))
+        if arr.size == self.num_cells and np.ptp(arr) == 0:
+            return self.lattice.scales_const(float(arr.reshape(-1)[0]))
+        return tuple(self.lattice.scales_field(arr))
+
+    def stiff_coeff(self, coeff):
+        """Prepare a DG-0 stiffness coefficient for use inside jit: on the
+        lattice path pack the scale tensors now (host-side — packing cannot
+        happen on traced values once consts flow as jit arguments); otherwise
+        return the device coefficient array."""
+        if self.lattice is not None:
+            return self.pack_scales(np.asarray(coeff, np.float64))
+        return _as_cell_array(jnp.asarray(np.asarray(coeff)), self.num_cells, self.dtype)
 
     def _is_packed(self, coeff) -> bool:
         """Packed lattice scales are a tuple/list (per-axis); raw DG-0
@@ -250,12 +254,7 @@ class SEMOperators:
 
     def pack_scales_nodal(self, coeff_nodal):
         """Lattice scales for a nodal (per-DOF) coefficient (sponge layers)."""
-        key = id(coeff_nodal)
-        if key not in self._scales_cache:
-            self._scales_cache[key] = self.lattice.scales_nodal(
-                np.asarray(coeff_nodal)
-            )
-        return self._scales_cache[key]
+        return self.lattice.scales_nodal(np.asarray(coeff_nodal))
 
     def stiffness_apply_nodal(self, xs, nodal_coeffs) -> jnp.ndarray:
         """y = Σ_f K_{c_f(x)}(x_f) with coefficients given at the GLL nodes
@@ -348,8 +347,8 @@ class SEMOperators:
             facets = self.mesh.facet_tags.get(tag, np.zeros((0, 2), np.int64))
             gdofs, wdetJf, cells = facet_factors(self.mesh, self.space, facets)
             self._facet_cache[tag] = (
-                jnp.asarray(gdofs.reshape(-1)),
-                jnp.asarray(wdetJf.reshape(-1), self.dtype),
+                gdofs.reshape(-1),
+                wdetJf.reshape(-1),
                 cells,
             )
         return self._facet_cache[tag]
@@ -360,17 +359,20 @@ class SEMOperators:
         vector (tag 1) and the Sommerfeld ABC diagonal (tag 2); reference
         forms ``_linear.py:355-361``."""
         gdofs, w, cells = self.facet_data(tag)
-        coeff = np.asarray(
-            _as_cell_array(cell_coeff, self.num_cells, jnp.float64)
+        coeff = np.broadcast_to(
+            np.asarray(cell_coeff, np.float64).reshape(-1), (self.num_cells,)
         )
-        cf = jnp.asarray(
+        vals = np.asarray(w) * (
             np.repeat(coeff[cells], w.shape[0] // max(len(cells), 1))
             if len(cells)
-            else np.zeros(0),
-            self.dtype,
+            else np.zeros(0)
         )
-        vals = w * cf
-        return jnp.zeros(self.ndofs, self.dtype).at[gdofs].add(vals)
+        # Host assembly: XLA lowers scalar scatter-add near-serially on TPU
+        # (minutes for ~1M updates); numpy does it in milliseconds, and facet
+        # vectors are one-time setup data.
+        out = np.zeros(self.ndofs)
+        np.add.at(out, np.asarray(gdofs), vals)
+        return jnp.asarray(out, self.dtype)
 
     def facet_vector_nodal(self, tag: int, nodal_coeff) -> jnp.ndarray:
         """Assembled ∫_{Γ_tag} c(x) φ_i ds with a per-DOF coefficient —
@@ -378,8 +380,11 @@ class SEMOperators:
         ``_experimental.py:431-439``) and the sponge δ(x)-weighted facet
         mass (``:898-905``)."""
         gdofs, w, cells = self.facet_data(tag)
-        prof = jnp.asarray(nodal_coeff, self.dtype)[gdofs]
-        return jnp.zeros(self.ndofs, self.dtype).at[gdofs].add(w * prof)
+        gd = np.asarray(gdofs)
+        vals = np.asarray(w) * np.asarray(nodal_coeff, np.float64)[gd]
+        out = np.zeros(self.ndofs)
+        np.add.at(out, gd, vals)
+        return jnp.asarray(out, self.dtype)
 
     # ------------------------------------------------------------ interpolation
 

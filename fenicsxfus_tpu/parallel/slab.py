@@ -134,6 +134,7 @@ class SlabDecomposition:
         global_ndofs: int,
         global_ncells: int,
         stiff_keys=(),
+        raw_stiff=None,
     ):
         """Split a model's consts dict: dof-vectors → stacked slabs,
         cell-vectors → per-device slices, scalars pass through replicated.
@@ -142,12 +143,26 @@ class SlabDecomposition:
         the lattice fast path they are pre-packed into per-device mixed-rep
         scale tensors (host-side), because packing cannot happen on traced
         values inside shard_map."""
+        raw_stiff = raw_stiff or {}
         out = {}
         for k, val in consts.items():
+            if k in stiff_keys:
+                # repack the raw DG-0 coefficient per device (the consts
+                # entry may already be packed global-lattice scales)
+                coeff = np.broadcast_to(
+                    np.asarray(raw_stiff[k], np.float64).reshape(-1),
+                    (global_ncells,),
+                )
+                if self.ops.lattice is not None:
+                    out[k] = self._pack_stiff_coeff(coeff, global_ncells)
+                else:
+                    arr = coeff.reshape(self.ndev, self.cells_per_dev)
+                    out[k] = jax.device_put(
+                        jnp.asarray(arr, self.dtype), self.sharding
+                    )
+                continue
             if np.isscalar(val) or getattr(val, "ndim", 0) == 0:
                 out[k] = val
-            elif k in stiff_keys and self.ops.lattice is not None:
-                out[k] = self._pack_stiff_coeff(val, global_ncells)
             elif val.shape == (global_ndofs,):
                 out[k] = self.to_stacked(val)
             elif val.shape == (global_ncells,):
@@ -195,6 +210,7 @@ class ShardedExplicitSolver:
             model.ops.ndofs,
             model.mesh.num_cells,
             stiff_keys=getattr(type(model), "STIFF_KEYS", ()),
+            raw_stiff=getattr(model, "raw_stiff", None),
         )
         self.rhs_pure = type(model).rhs_pure
         self._run = None

@@ -1,0 +1,78 @@
+"""XDMF/H5 IO: read the reference's committed example meshes and run on them."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsxfus_tpu import LinearSpectralExplicit
+from fenicsxfus_tpu.io.xdmf import read_mesh, save_field_npz, write_xdmf_field
+from fenicsxfus_tpu.ops.operators import SEMOperators
+
+REF2D = "/root/reference/python/examples/linear_planewave2d_1_exp/mesh.xdmf"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(REF2D), reason="reference meshes not mounted"
+)
+
+
+@needs_ref
+def test_read_reference_mesh():
+    mesh = read_mesh(REF2D)
+    assert mesh.dim == 2
+    assert mesh.num_cells == 8400
+    assert mesh.num_vertices == 8591
+    assert set(mesh.facet_tags) == {1, 2, 3}
+    assert mesh.cell_tags is not None and len(mesh.cell_tags) == 8400
+    # all cells positively oriented after vertex permutation
+    from fenicsxfus_tpu.core.geometry import volume_factors
+
+    wdetJ, _ = volume_factors(mesh, 2)
+    assert np.all(wdetJ > 0)
+    # source facets (tag 1) lie on the x=0 boundary
+    from fenicsxfus_tpu.core.mesh import facet_midpoints
+
+    mids = facet_midpoints(mesh, mesh.facet_tags[1])
+    assert np.all(np.abs(mids[:, 0]) < 1e-10)
+
+
+@needs_ref
+def test_solve_on_reference_mesh():
+    """Short linear solve on the committed reference mesh (the example setup
+    of ``linear_planewave2d_1_exp.py`` at reduced final time)."""
+    mesh = read_mesh(REF2D)
+    f0, p0 = 0.5e6, 60000.0
+    c0, rho0 = 1500.0, 1000.0
+    degree = 4
+    h = mesh.h_min()
+    dt = 0.9 * h / (c0 * degree**2)
+    eqn = LinearSpectralExplicit(
+        mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=jnp.float64
+    )
+    eqn.init()
+    u, v, tf = eqn.rk(0.0, 40 * dt)
+    assert np.all(np.isfinite(np.asarray(u)))
+    assert float(jnp.max(jnp.abs(u))) > 0
+
+
+def test_field_output(tmp_path):
+    from fenicsxfus_tpu import create_rectangle
+
+    mesh = create_rectangle((4, 3))
+    ops = SEMOperators(mesh, 3, dtype=jnp.float64)
+    u = jnp.asarray(ops.space.dof_coords[:, 0] ** 2)
+    npz = tmp_path / "snap.npz"
+    save_field_npz(str(npz), ops, {"u": u}, t=1.5)
+    data = np.load(npz)
+    assert data["t"] == 1.5 and data["u"].shape == (ops.ndofs,)
+
+    xdmf = tmp_path / "field.xdmf"
+    write_xdmf_field(str(xdmf), ops, u, name="u")
+    assert xdmf.exists() and (tmp_path / "field.h5").exists()
+    # round-trip: vertex values equal x^2 at the vertices
+    import h5py
+
+    with h5py.File(tmp_path / "field.h5", "r") as f:
+        vv = np.asarray(f["/fields/u"])
+    assert np.allclose(vv, mesh.vertices[:, 0] ** 2, atol=1e-13)

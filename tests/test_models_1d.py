@@ -142,3 +142,24 @@ def test_westervelt(degree, epw):
         eqn.ops, u_n, lambda x: fubini(x[0], tf, C0, F0, p0, rho0, beta0)
     )
     assert err < 1e-1, err
+
+
+@pytest.mark.parametrize("degree, epw", [(4, 4)])
+def test_linear_gauss_explicit(degree, epw):
+    """Gauss-quadrature (consistent-mass) variant, reference test_linear_1d.py."""
+    from fenicsxfus_tpu import LinearExplicit
+
+    rho0 = 4.0
+    p0 = rho0 * C0 * U0
+    mesh, h = make_mesh(epw)
+    dt = 0.9 * h / (C0 * degree**2)
+    tend = L / C0 + 16.0 / F0
+    eqn = LinearExplicit(
+        mesh, None, degree, C0, rho0, F0, p0, C0, 4, dt, dtype=jnp.float64
+    )
+    eqn.init()
+    u_n, _, tf = eqn.rk(0.0, tend)
+    err = relative_l2_error(
+        eqn.ops, u_n, lambda x: planewave(x[0], tf, C0, F0, p0)
+    )
+    assert err < 1e-3, err

@@ -180,3 +180,65 @@ def test_facet_vector_3d_surface_measure():
     ops = SEMOperators(mesh, 3, dtype=jnp.float64)
     v = np.asarray(ops.facet_vector(1, 1.0))
     assert abs(v.sum() - 2.0 * 1.5) < 1e-12
+
+
+def test_quadrature_stiffness_vs_dense():
+    """Gauss-rule stiffness action vs a dense oracle assembled with the same
+    rule (direct numpy from tabulated basis values/derivatives)."""
+    from fenicsxfus_tpu.core.geometry import quadrature_factors
+    from fenicsxfus_tpu.ops.quadrature_ops import (
+        QuadratureOperators,
+        _lagrange_derivative,
+        gauss_rule_01,
+    )
+    from fenicsxfus_tpu.core.gll import lagrange_eval_gll
+
+    mesh = distort(create_rectangle((4, 3)))
+    ops = SEMOperators(mesh, 3, dtype=jnp.float64)
+    nq = 6
+    qops = QuadratureOperators(ops, nq=nq)
+    x1, w1 = gauss_rule_01(nq)
+    wdetJ, G = quadrature_factors(mesh, x1, w1)
+    N = ops.N
+    T = lagrange_eval_gll(N, x1)
+    xg, _ = gll_points_weights_01(N)
+    dT = _lagrange_derivative(xg, x1)
+    B = [np.kron(dT, T), np.kron(T, dT)]  # d/dxi0, d/dxi1 at the Gauss lattice
+    pairs = SYM_PAIRS[2]
+    rng = np.random.default_rng(7)
+    coeff = 0.5 + rng.random(mesh.num_cells)
+    K = np.zeros((ops.ndofs, ops.ndofs))
+    dofmap = np.asarray(ops.space.dofmap)
+    for c in range(mesh.num_cells):
+        Ke = np.zeros((N**2, N**2))
+        for idx, (a, b) in enumerate(pairs):
+            g = G[c, :, idx]
+            Ke += np.einsum("qn,q,qm->nm", B[a], g, B[b])
+            if a != b:
+                Ke += np.einsum("qn,q,qm->nm", B[b], g, B[a])
+        dm = dofmap[c]
+        K[np.ix_(dm, dm)] += coeff[c] * Ke
+    xv = rng.standard_normal(ops.ndofs)
+    y_ref = K @ xv
+    y_q = np.asarray(qops.stiffness_apply([jnp.asarray(xv)], [jnp.asarray(coeff)]))
+    assert np.linalg.norm(y_q - y_ref) < 1e-10 * np.linalg.norm(y_ref)
+
+
+def test_consistent_mass_integrates_exactly():
+    """Gauss mass action on the all-ones vector integrates the coefficient:
+    1ᵀ M 1 = ∫ coeff dx (exactly, unlike the lumped GLL mass of degree 2p-1)."""
+    from fenicsxfus_tpu.ops.quadrature_ops import QuadratureOperators
+
+    mesh = create_interval(5)
+    ops = SEMOperators(mesh, 4, dtype=jnp.float64)
+    qops = QuadratureOperators(ops)
+    ones = jnp.ones(ops.ndofs, jnp.float64)
+    y = qops.mass_apply(ones, 3.0)
+    assert abs(float(jnp.sum(y)) - 3.0) < 1e-13
+    # consistent mass is NOT diagonal: M@e_i has off-diagonal entries
+    e = jnp.zeros(ops.ndofs, jnp.float64).at[2].set(1.0)
+    col = np.asarray(qops.mass_apply(e, 1.0))
+    assert np.count_nonzero(np.abs(col) > 1e-14) > 1
+    # diag() matches action on basis vectors
+    d = np.asarray(qops.mass_diag(1.0))
+    assert abs(d[2] - col[2]) < 1e-13
