@@ -38,9 +38,16 @@ _PRECISION = None  # set lazily to avoid importing jax.lax at module import
 
 
 def _precision():
+    """Contraction precision for the lattice path. Default HIGHEST: the TPU
+    default (single-pass bf16) drifts the solution ~10× worse over long RK
+    runs (measured, see ops docstrings). Overridable via FUS_PRECISION for
+    experiments: default|high|highest."""
+    import os
+
     import jax
 
-    return jax.lax.Precision.HIGHEST
+    name = os.environ.get("FUS_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
 
 
 def _banded_derivative(n_cells: int, p: int) -> np.ndarray:
@@ -232,41 +239,85 @@ class LatticeStiffness:
         cc = self._chunk(axis)
         return _banded_derivative(cc, self.p)  # [cc·N, cc·p+1]
 
+    # All of these are written WITHOUT moveaxis: axis-general moveaxis forced
+    # full-volume physical transposes on TPU (measured to dominate the
+    # apply); slicing/reshape on an in-place axis is layout-preserving, and
+    # the contraction uses a batched dot_general that keeps the axis order.
+
+    def _axslice(self, ndim, axis, sl):
+        out = [slice(None)] * ndim
+        out[axis] = sl
+        return tuple(out)
+
     def _unfold_j(self, x, axis, stride, width):
-        """[.., G_a, ..] → [.., nb·width, ..]: nb = n_lattice//stride
+        """[.., G_a, ..] → [.., nb·width, ..]: nb = (G_a-1)//stride
         overlapping windows (window w starts at lattice index w·stride)."""
-        xm = jnp.moveaxis(x, axis, 0)
-        nb = (xm.shape[0] - 1) // stride
-        main = xm[:-1].reshape((nb, stride) + xm.shape[1:])
-        right = jnp.concatenate([main[1:, :1], xm[-1:][:, None]], axis=0)
-        cells = jnp.concatenate([main, right], axis=1)  # [nb, width, rest]
-        out = cells.reshape((nb * width,) + xm.shape[1:])
-        return jnp.moveaxis(out, 0, axis)
+        nd = x.ndim
+        G = x.shape[axis]
+        nb = (G - 1) // stride
+        pre, post = x.shape[:axis], x.shape[axis + 1 :]
+        main = x[self._axslice(nd, axis, slice(0, G - 1))].reshape(
+            pre + (nb, stride) + post
+        )
+        # right closure: window w's last entry = window w+1's first, except
+        # the final window which takes the last lattice plane.
+        sl = [slice(None)] * (nd + 1)
+        sl[axis], sl[axis + 1] = slice(1, None), slice(0, 1)
+        first_of_next = main[tuple(sl)]
+        last_plane = x[self._axslice(nd, axis, slice(G - 1, G))].reshape(
+            pre + (1, 1) + post
+        )
+        right = jnp.concatenate([first_of_next, last_plane], axis=axis)
+        cells = jnp.concatenate([main, right], axis=axis + 1)
+        return cells.reshape(pre + (nb * width,) + post)
 
     def _fold_j(self, y, axis, stride, width):
         """Adjoint of ``_unfold_j``: overlapping windows → lattice add."""
-        ym = jnp.moveaxis(y, axis, 0)
-        nb = ym.shape[0] // width
-        cells = ym.reshape((nb, width) + ym.shape[1:])
-        rest = ym.shape[1:]
-        zero_row = jnp.zeros((1,) + rest, y.dtype)
+        nd = y.ndim
+        nb = y.shape[axis] // width
+        pre, post = y.shape[:axis], y.shape[axis + 1 :]
+        cells = y.reshape(pre + (nb, width) + post)
+
+        def sl2(s):  # slice on the window-node axis (axis+1)
+            out = [slice(None)] * (nd + 1)
+            out[axis + 1] = s
+            return tuple(out)
+
+        zero_plane = jnp.zeros(pre + (1,) + post, y.dtype)
         y_main = jnp.concatenate(
-            [cells[:, :stride].reshape((nb * stride,) + rest), zero_row], axis=0
+            [
+                cells[sl2(slice(0, stride))].reshape(pre + (nb * stride,) + post),
+                zero_plane,
+            ],
+            axis=axis,
         )
-        zz = jnp.zeros((nb, stride) + rest, y.dtype).at[:, stride - 1].set(
-            cells[:, stride]
+        zz = jnp.zeros(pre + (nb, stride) + post, y.dtype)
+        zz = zz.at[sl2(slice(stride - 1, stride))].set(
+            cells[sl2(slice(stride, width))]
         )
-        y_last = jnp.concatenate([zero_row, zz.reshape((nb * stride,) + rest)], axis=0)
-        return jnp.moveaxis(y_main + y_last, 0, axis)
+        y_last = jnp.concatenate(
+            [zero_plane, zz.reshape(pre + (nb * stride,) + post)], axis=axis
+        )
+        return y_main + y_last
+
+    _EINSUM_FWD = {
+        (1, 0): "bw,qw->bq",
+        (2, 0): "bwz,qw->bqz",
+        (2, 1): "xbw,qw->xbq",
+        (3, 0): "bwyz,qw->bqyz",
+        (3, 1): "xbwz,qw->xbqz",
+        (3, 2): "xybw,qw->xybq",
+    }
 
     def _bcontract(self, x, mat, axis, rows_in):
-        """Apply ``mat`` [rows_out, rows_in] blockwise along ``axis``."""
-        xm = jnp.moveaxis(x, axis, 0)
-        nb = xm.shape[0] // rows_in
-        xm = xm.reshape((nb, rows_in) + xm.shape[1:])
-        out = jnp.einsum("qi,ci...->cq...", mat, xm, precision=_precision())
-        out = out.reshape((nb * mat.shape[0],) + out.shape[2:])
-        return jnp.moveaxis(out, 0, axis)
+        """Apply ``mat`` [rows_out, rows_in] blockwise along ``axis``,
+        preserving axis order (batched dot_general, no transposes)."""
+        nb = x.shape[axis] // rows_in
+        pre, post = x.shape[:axis], x.shape[axis + 1 :]
+        xb = x.reshape(pre + (nb, rows_in) + post)
+        eq = self._EINSUM_FWD[(self.d, axis)]
+        out = jnp.einsum(eq, xb, mat, precision=_precision())
+        return out.reshape(pre + (nb * mat.shape[0],) + post)
 
     def apply_scaled(self, xs_and_scales):
         """y = Σ_f Σ_a fold_a(B_aᵀ(S_a^f ∘ B_a(unfold_a(x_f)))).
@@ -289,9 +340,10 @@ class LatticeStiffness:
                     fac, vecs = s
                     su = u * fac
                     for b in range(self.d):
+                        v = jnp.asarray(vecs[b], self.dtype)
                         shape = [1] * self.d
-                        shape[b] = np.asarray(vecs[b]).shape[0]
-                        su = su * jnp.asarray(vecs[b], self.dtype).reshape(shape)
+                        shape[b] = v.shape[0]
+                        su = su * v.reshape(shape)
                 else:
                     su = u * s
                 acc = su if acc is None else acc + su

@@ -234,6 +234,19 @@ class SEMOperators:
             for x, coeff in zip(xs, coeffs):
                 scales = coeff if self._is_packed(coeff) else self.pack_scales(coeff)
                 pairs.append((x.reshape(self.lattice.gdims), scales))
+            pk = self._pallas_kernel()
+            if pk is not None and all(
+                isinstance(s, (tuple, list)) and isinstance(s[0], tuple)
+                for _, s in pairs
+            ):
+                # all coefficients spatially constant ⇒ they commute globally:
+                # Σ_f K_{c_f}(x_f) = K_1(Σ_f c_f x_f), one fused pallas apply.
+                geo0 = self.lattice._geo[0]
+                z = None
+                for x, s in pairs:
+                    cf = s[0][0] / geo0  # rank-1 fac = coeff · geo_axis0
+                    z = cf * x if z is None else z + cf * x
+                return self.complete(pk.apply(z, 1.0).reshape(-1))
             y = self.lattice.apply_scaled(pairs).reshape(-1)
             return self.complete(y)
         z = self.gather_combine(xs, coeffs)
@@ -245,6 +258,27 @@ class SEMOperators:
         else:
             y = self._stiffness_cells(z)
         return self.scatter(y)
+
+    def _pallas_kernel(self):
+        """Fused Pallas stiffness (3D uniform lattice, TPU only; opt out with
+        FUS_PALLAS=0, force-on with FUS_PALLAS=1)."""
+        if not hasattr(self, "_pallas_obj"):
+            import os
+
+            flag = os.environ.get("FUS_PALLAS", "")
+            on_tpu = jax.default_backend() not in ("cpu",)
+            enable = (
+                self.lattice is not None
+                and self.d == 3
+                and (flag == "1" or (flag != "0" and on_tpu))
+            )
+            if enable:
+                from .pallas_stiffness import PallasLatticeStiffness
+
+                self._pallas_obj = PallasLatticeStiffness(self.lattice)
+            else:
+                self._pallas_obj = None
+        return self._pallas_obj
 
     def stiffness_apply_generic(self, xs, coeffs) -> jnp.ndarray:
         """Force the gather→contract→segment-sum path (oracle for tests)."""
