@@ -73,8 +73,22 @@ def quadrature_factors(
     ``fenicsx-pc`` variant decouples quadrature from basis degree,
     ``cpp/fenicsx-pc/common/precompute_op.hpp``)."""
     d = mesh.dim
-    dshape = _geom_grad_tensor([x1] * d)  # [nq**d, 2**d, d]
     verts = mesh.cell_vertices()
+    # full tensor-lattice weights
+    wfull = w1
+    for _ in range(d - 1):
+        wfull = np.multiply.outer(wfull, w1).reshape(-1)
+    if mesh.num_cells >= 20000:
+        # native streaming precompute (the numpy path below materializes
+        # [Nc, Nq, d, d] Jacobians — ~10 GB at 1M cells, p=4)
+        from ..native import volume_factors as native_factors
+
+        grids = np.meshgrid(*([x1] * d), indexing="ij")
+        qpts = np.stack([g.reshape(-1) for g in grids], axis=-1)
+        out = native_factors(verts, qpts, wfull)
+        if out is not None:
+            return out
+    dshape = _geom_grad_tensor([x1] * d)  # [nq**d, 2**d, d]
     J = _jacobians(verts, dshape)  # [Nc, Nq, d, d]
     detJ = np.linalg.det(J)
     sign = np.sign(detJ)
