@@ -127,11 +127,16 @@ class ExplicitModelBase(SpectralModelBase):
 
 
 class ImplicitModelBase(SpectralModelBase):
-    """SDIRK models: subclasses define
+    """SDIRK models: subclasses provide pure static functions over a
+    ``consts`` pytree (passed as jit arguments, same rationale as the
+    explicit models):
 
-    * ``lhs(tau, x) -> A x``      (A = mass + tau-dependent stiffness/ABC)
-    * ``lhs_diag(tau)``           (assembled diagonal of A, for Jacobi)
-    * ``rhs(tau, t, u, v) -> b``  (stage right-hand side)
+    * ``lhs_pure(ops, consts, tau, x) -> A x``   (A = M + τ-terms)
+    * ``lhs_diag_pure(ops, consts, tau)``        (diag(A), Jacobi)
+    * ``rhs_stage(ops, consts, tau, t, u, v) -> b``
+
+    The instance methods ``lhs``/``lhs_diag``/``rhs`` remain as thin
+    wrappers for direct use.
     """
 
     def __init__(self, mesh, meshtags, degree, freq0, p0, s0, rk_order, dt, dtype,
@@ -141,19 +146,33 @@ class ImplicitModelBase(SpectralModelBase):
         self.A_tab, self.b_tab, self.c_tab = dirk_tables(self.rk_order)
         self.cg_rtol = cg_rtol
         self.cg_maxiter = cg_maxiter
+        self.consts: dict = {}
+        self._run = None
 
-    def dirk(self, t0: float, tf: float):
+    def lhs(self, tau, x):
+        return type(self).lhs_pure(self.ops, self.consts, tau, x)
+
+    def lhs_diag(self, tau):
+        return type(self).lhs_diag_pure(self.ops, self.consts, tau)
+
+    def rhs(self, tau, t, u, v):
+        return type(self).rhs_stage(self.ops, self.consts, tau, t, u, v)
+
+    def _build_run(self):
         import jax
 
         from ..ops.cg import cg_solve
 
         A_tab, b_tab, c_tab = self.A_tab, self.b_tab, self.c_tab
         n = len(b_tab)
+        ops = self.ops
+        cls = type(self)
+        rtol, maxiter = self.cg_rtol, self.cg_maxiter
 
-        def step(carry, dtn):
+        def step(consts, carry, dtn):
             u0, v0, t = carry
             tau = dtn * A_tab[0, 0]
-            dinv = 1.0 / self.lhs_diag(tau)
+            dinv = 1.0 / cls.lhs_diag_pure(ops, consts, tau)
             kus, kvs = [], []
             u_acc, v_acc = u0, v0
             for i in range(n):
@@ -162,11 +181,11 @@ class ImplicitModelBase(SpectralModelBase):
                     un = un + (A_tab[i, j] * dtn) * kus[j]
                     vn = vn + (A_tab[i, j] * dtn) * kvs[j]
                 tn = t + c_tab[i] * dtn
-                b = self.rhs(tau, tn, un, vn)
+                b = cls.rhs_stage(ops, consts, tau, tn, un, vn)
                 x0 = kvs[-1] if kvs else jnp.zeros_like(v0)
                 kv, _ = cg_solve(
-                    lambda x: self.lhs(tau, x), b, x0, dinv,
-                    rtol=self.cg_rtol, maxiter=self.cg_maxiter,
+                    lambda x: cls.lhs_pure(ops, consts, tau, x), b, x0, dinv,
+                    rtol=rtol, maxiter=maxiter,
                 )
                 ku = vn + tau * kv
                 kus.append(ku)
@@ -176,11 +195,20 @@ class ImplicitModelBase(SpectralModelBase):
             return (u_acc, v_acc, t + dtn), None
 
         @jax.jit
-        def run(u, v, t0v, dts):
-            (u, v, t), _ = jax.lax.scan(step, (u, v, t0v), dts)
+        def run(consts, u, v, t0v, dts):
+            (u, v, t), _ = jax.lax.scan(
+                lambda carry, dtn: step(consts, carry, dtn), (u, v, t0v), dts
+            )
             return u, v, t
 
+        return run
+
+    def dirk(self, t0: float, tf: float):
+        if self._run is None:
+            self._run = self._build_run()
         dts = jnp.asarray(step_sizes(t0, tf, self.dt), self.dtype)
-        u, v, t = run(self.u_n, self.v_n, jnp.asarray(t0, self.dtype), dts)
+        u, v, t = self._run(
+            self.consts, self.u_n, self.v_n, jnp.asarray(t0, self.dtype), dts
+        )
         self.u_n, self.v_n, self.t = u, v, float(t)
         return self.u_n, self.v_n, self.t

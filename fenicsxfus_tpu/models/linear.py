@@ -112,28 +112,35 @@ class LinearSpectralImplicit(ImplicitModelBase):
         c = _cellwise(c0, nc)
         rho = _cellwise(rho0, nc)
         ops = self.ops
-        self.m = ops.assemble_diag(1.0 / (rho * c * c))
-        self.stiff_coeff = jnp.asarray(1.0 / rho, dtype)
-        self.kdiag = ops.stiffness_diag(1.0 / rho)
-        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
-        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self.consts = self.base_consts()
+        self.consts["m"] = ops.assemble_diag(1.0 / (rho * c * c))
+        self.raw_stiff = {"coeff_u": 1.0 / rho}
+        self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
+        self.consts["kdiag"] = ops.stiffness_diag(1.0 / rho)
+        self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
 
-    def lhs(self, tau, x):
+    @staticmethod
+    def lhs_pure(ops, c, tau, x):
         """A x = M x + τ² K x + τ ABC x  (reference a-form :623-631)."""
         return (
-            self.m * x
-            + tau * tau * self.ops.stiffness_apply([x], [self.stiff_coeff])
-            + tau * self.abc_diag * x
+            c["m"] * x
+            + tau * tau * ops.stiffness_apply([x], [c["coeff_u"]])
+            + tau * c["abc_diag"] * x
         )
 
-    def lhs_diag(self, tau):
-        return self.m + tau * tau * self.kdiag + tau * self.abc_diag
+    @staticmethod
+    def lhs_diag_pure(ops, c, tau):
+        return c["m"] + tau * tau * c["kdiag"] + tau * c["abc_diag"]
 
-    def rhs(self, tau, t, u, v):
+    @staticmethod
+    def rhs_stage(ops, c, tau, t, u, v):
         """b = −K(u + τ v) + g·src − ABC·v  (reference L-form :633-639)."""
-        g, _ = self.source_amplitudes(t)
+        from .base import source_amplitudes
+
+        g, _ = source_amplitudes(c, t)
         return (
-            -self.ops.stiffness_apply([u + tau * v], [self.stiff_coeff])
-            + g * self.src_vec
-            - self.abc_diag * v
+            -ops.stiffness_apply([u + tau * v], [c["coeff_u"]])
+            + g * c["src_vec"]
+            - c["abc_diag"] * v
         )

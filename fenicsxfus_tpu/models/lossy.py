@@ -77,43 +77,52 @@ class LossySpectralImplicit(ImplicitModelBase):
         rho = _cellwise(rho0, nc)
         delta = _cellwise(delta0, nc)
         ops = self.ops
-        self.m = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
+        self.consts = self.base_consts()
+        self.consts["m"] = ops.assemble_diag(1.0 / (rho * c * c)) + ops.facet_vector(
             self.ABC_TAG, delta / (rho * c**3)
         )
-        self.coeff_u = jnp.asarray(1.0 / rho, dtype)
-        self.coeff_v = jnp.asarray(delta / (rho * c * c), dtype)
-        self.kdiag_u = ops.stiffness_diag(1.0 / rho)
-        self.kdiag_v = ops.stiffness_diag(delta / (rho * c * c))
-        self.src_vec = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
-        self.src_vec_d = ops.facet_vector(self.SOURCE_TAG, delta / (rho * c * c))
-        self.abc_diag = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
+        self.raw_stiff = {"coeff_u": 1.0 / rho, "coeff_v": delta / (rho * c * c)}
+        self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
+        self.consts["coeff_v"] = ops.stiff_coeff(delta / (rho * c * c))
+        self.consts["kdiag_u"] = ops.stiffness_diag(1.0 / rho)
+        self.consts["kdiag_v"] = ops.stiffness_diag(delta / (rho * c * c))
+        self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, 1.0 / rho)
+        self.consts["src_vec_d"] = ops.facet_vector(
+            self.SOURCE_TAG, delta / (rho * c * c)
+        )
+        self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
 
-    def lhs(self, tau, x):
+    @staticmethod
+    def lhs_pure(ops, c, tau, x):
         """A x = M x + τ²K_{1/ρ} x + τK_{δ/ρc²} x + τ ABC x
         (reference a-form ``_lossy.py:410-427``)."""
         return (
-            self.m * x
-            + self.ops.stiffness_apply(
-                [tau * tau * x, tau * x], [self.coeff_u, self.coeff_v]
+            c["m"] * x
+            + ops.stiffness_apply(
+                [tau * tau * x, tau * x], [c["coeff_u"], c["coeff_v"]]
             )
-            + tau * self.abc_diag * x
+            + tau * c["abc_diag"] * x
         )
 
-    def lhs_diag(self, tau):
+    @staticmethod
+    def lhs_diag_pure(ops, c, tau):
         return (
-            self.m
-            + tau * tau * self.kdiag_u
-            + tau * self.kdiag_v
-            + tau * self.abc_diag
+            c["m"]
+            + tau * tau * c["kdiag_u"]
+            + tau * c["kdiag_v"]
+            + tau * c["abc_diag"]
         )
 
-    def rhs(self, tau, t, u, v):
+    @staticmethod
+    def rhs_stage(ops, c, tau, t, u, v):
         """b = −K_{1/ρ}(u + τ v) − K_{δ/ρc²}(v) + g·src + dg·srcδ − ABC·v
         (reference L-form ``_lossy.py:429-445``)."""
-        g, dg = self.source_amplitudes(t)
+        from .base import source_amplitudes
+
+        g, dg = source_amplitudes(c, t)
         return (
-            -self.ops.stiffness_apply([u + tau * v, v], [self.coeff_u, self.coeff_v])
-            + g * self.src_vec
-            + dg * self.src_vec_d
-            - self.abc_diag * v
+            -ops.stiffness_apply([u + tau * v, v], [c["coeff_u"], c["coeff_v"]])
+            + g * c["src_vec"]
+            + dg * c["src_vec_d"]
+            - c["abc_diag"] * v
         )

@@ -76,3 +76,51 @@ def test_field_output(tmp_path):
     with h5py.File(tmp_path / "field.h5", "r") as f:
         vv = np.asarray(f["/fields/u"])
     assert np.allclose(vv, mesh.vertices[:, 0] ** 2, atol=1e-13)
+
+
+def test_checkpoint_resume(tmp_path):
+    """A run split by checkpoint/resume must match the uninterrupted run."""
+    import jax.numpy as jnp
+
+    from fenicsxfus_tpu import LinearSpectralExplicit, create_interval, tag_boundaries
+    from fenicsxfus_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    def make():
+        mesh = create_interval(20, 0.0, 1.0)
+        tag_boundaries(
+            mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12}
+        )
+        return LinearSpectralExplicit(
+            mesh, None, 4, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 1e-3, dtype=jnp.float64
+        )
+
+    full = make()
+    full.init()
+    u_full, v_full, _ = full.rk(0.0, 0.2)
+
+    part = make()
+    part.init()
+    part.rk(0.0, 0.1)
+    ckpt = tmp_path / "state.npz"
+    save_checkpoint(str(ckpt), part)
+
+    resumed = make()
+    resumed.init()
+    t = load_checkpoint(str(ckpt), resumed)
+    u_res, v_res, _ = resumed.rk(t, 0.2)
+    assert np.allclose(np.asarray(u_res), np.asarray(u_full), atol=1e-13)
+    assert np.allclose(np.asarray(v_res), np.asarray(v_full), atol=1e-13)
+
+    # incompatible restore refuses
+    import pytest as _pytest
+
+    other = make()
+    with _pytest.raises(ValueError, match="dofs"):
+        bad = LinearSpectralExplicit(
+            tag_boundaries(
+                create_interval(10, 0.0, 1.0),
+                {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12},
+            ),
+            None, 4, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 1e-3, dtype=jnp.float64,
+        )
+        load_checkpoint(str(ckpt), bad)
