@@ -1,0 +1,93 @@
+"""HITU W-H101-WATER: focused-bowl Westervelt benchmark in water.
+
+Reference: ``cpp/fenicsx-sf-fastor/benchmarks/HITU/W-H101-WATER/main.cpp``
+(:33-52): Sonic Concepts H101 transducer (64 mm aperture, 63.2 mm focus),
+1.1 MHz, source velocity 0.1398 m/s, water (c=1480, ρ=1000, α=0.2 dB/m,
+β=3.5), 0.12 m domain, Westervelt p=6, CFL-based dt rounded to integer
+steps per period (:108-111). The reference meshes the curved bowl; here a
+phased flat aperture focuses at the same depth (see models/focused.py).
+
+Run:  python benchmarks/hitu_h101_water.py [--nx 52] [--degree 4] [--periods 1.2]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main(nx=88, degree=4, periods=1.6, full=False):
+    import jax
+    import jax.numpy as jnp
+
+    from fenicsxfus_tpu import (
+        compute_diffusivity_of_sound,
+        create_box,
+        eval_function,
+        tag_boundaries,
+    )
+    from fenicsxfus_tpu.models.focused import WesterveltSpectralFocused
+
+    # reference parameters (main.cpp:33-52). At the true 1.1 MHz the
+    # resolved mesh is ~360M DOF (the reference runs it on an HPC cluster);
+    # the default here is the same problem scaled to 0.5 MHz so a resolved
+    # (>2 elements/wavelength) mesh fits one chip. --full uses 1.1 MHz.
+    c0, rho0 = 1480.0, 1000.0
+    f0 = 1.1e6 if full else 0.5e6
+    u0 = 0.13984880278551745
+    p0 = rho0 * c0 * u0
+    beta0 = 3.5
+    alphadB = 0.2
+    w0 = 2 * np.pi * f0
+    alphaNp = alphadB / 20 * np.log(10)
+    delta0 = 2 * alphaNp * c0**3 / w0**2
+    L = 0.12
+    a_ap, F = 0.032, 0.0632  # H101: 64 mm aperture, 63.2 mm focus
+
+    mesh = create_box((nx, nx, nx), (0, 0, 0), (L, L, L))
+    tag_boundaries(mesh, {1: lambda x: x[0] < 1e-9}, default=2)
+    h = L / nx
+    # CFL dt rounded to integer steps per period (reference :108-111)
+    dt_cfl = 0.25 * h / (c0 * degree**2)
+    spp = int(1 / f0 / dt_cfl + 1)
+    dt = 1 / f0 / spp
+
+    eqn = WesterveltSpectralFocused(
+        mesh, None, degree, c0, rho0, delta0, beta0, f0, p0, c0, 4, dt,
+        aperture_radius=a_ap, focal_distance=F, dtype=jnp.float32,
+    )
+    eqn.init()
+    tend = periods * L / c0
+    t0 = time.perf_counter()
+    u, v, tf = eqn.rk(0.0, tend)
+    elapsed = time.perf_counter() - t0
+    n = eqn.number_of_dofs()
+    nsteps = len(np.arange(0, tend, dt))
+    lam = c0 / f0
+    print(f"resolution: {lam / h:.2f} elements/wavelength (p={degree})")
+    print(
+        f"W-H101-WATER: {n/1e6:.1f}M DOF p={degree}, {nsteps} steps: "
+        f"{elapsed:.1f}s ({n*nsteps/elapsed/1e9:.3f} GDOF-steps/s)"
+    )
+    # axial focal gain profile
+    xs = np.linspace(0.01, L - 0.01, 23)
+    pts = np.stack([xs, np.full_like(xs, L / 2), np.full_like(xs, L / 2)])
+    _, vals = eval_function(eqn.ops, u, pts)
+    imax = int(np.argmax(np.abs(vals)))
+    print(f"peak |p| = {abs(vals[imax])/1e6:.2f} MPa at x = {xs[imax]*1e3:.1f} mm "
+          f"(geometric focus {F*1e3:.1f} mm; source {p0/1e6:.2f} MPa)")
+    assert np.all(np.isfinite(vals))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=88)
+    ap.add_argument("--degree", type=int, default=4)
+    ap.add_argument("--periods", type=float, default=1.6)
+    ap.add_argument("--full", action="store_true",
+                    help="true 1.1 MHz parameters (needs ~360M DOF resolved)")
+    main(**vars(ap.parse_args()))

@@ -37,6 +37,7 @@ from .models.linear import (  # noqa: F401
     LinearSpectralExplicit,
     LinearSpectralImplicit,
 )
+from .models.focused import WesterveltSpectralFocused  # noqa: F401
 from .models.lossy import LossySpectralExplicit, LossySpectralImplicit  # noqa: F401
 from .models.westervelt import WesterveltSpectralExplicit  # noqa: F401
 from .ops.operators import SEMOperators  # noqa: F401
@@ -59,6 +60,7 @@ __all__ = [
     "LossySpectralExplicit",
     "LossySpectralImplicit",
     "WesterveltSpectralExplicit",
+    "WesterveltSpectralFocused",
     "LinearSpectralNewmark",
     "LinearSpectralS2",
     "LinearSpectralSponge",

@@ -260,22 +260,21 @@ class SEMOperators:
         return self.scatter(y)
 
     def _pallas_kernel(self):
-        """Fused Pallas stiffness (3D uniform lattice, TPU only; opt out with
-        FUS_PALLAS=0, force-on with FUS_PALLAS=1)."""
+        """Fused Pallas stiffness (3D uniform lattice). OPT-IN via
+        FUS_PALLAS=1: it measures ~1.4× faster per apply than the XLA
+        lattice path (19.6 vs 27 ms at 57M DOF) and passes equivalence
+        tests, but long runs (~10^4 step scans) have crashed the axon TPU
+        worker — root cause unprofiled, so the default stays the XLA path."""
         if not hasattr(self, "_pallas_obj"):
             import os
 
             flag = os.environ.get("FUS_PALLAS", "")
-            on_tpu = jax.default_backend() not in ("cpu",)
-            enable = (
-                self.lattice is not None
-                and self.d == 3
-                and (flag == "1" or (flag != "0" and on_tpu))
-            )
+            enable = self.lattice is not None and self.d == 3 and flag == "1"
             if enable:
                 from .pallas_stiffness import PallasLatticeStiffness
 
-                self._pallas_obj = PallasLatticeStiffness(self.lattice)
+                pk = PallasLatticeStiffness(self.lattice)
+                self._pallas_obj = pk if pk.usable() else None
             else:
                 self._pallas_obj = None
         return self._pallas_obj

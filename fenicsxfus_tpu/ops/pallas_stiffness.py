@@ -104,13 +104,35 @@ class PallasLatticeStiffness:
     def _pallas_chunk(self, a: int) -> int:
         """Window chunk for the in-kernel matmuls. Measured on v5e: small
         windows (K=cc·p+1≈33) slightly beat near-128 K despite the MXU
-        padding — the kernel is not MXU-throughput-bound at these sizes."""
-        n, p = self.lat.grid[a], self.lat.p
-        best = 1
+        padding — the kernel is not MXU-throughput-bound at these sizes.
+        The window stride cc·p must be sublane-aligned (multiple of 8) or
+        Mosaic rejects the strided VMEM slices; returns None if no valid
+        chunk exists (caller falls back to the XLA path)."""
+        n, p, N = self.lat.grid[a], self.lat.p, self.lat.N
+
+        def ok(c):
+            # stride AND output-row count must be sublane-aligned: a config
+            # with rows=30 (cc=6, p=4) crashed the TPU worker outright.
+            return (
+                n % c == 0
+                and (c * p) % 8 == 0
+                and (c * N) % 8 == 0
+                and c * p + 1 <= 160
+            )
+
+        best = None
         for c in range(1, n + 1):
-            if n % c == 0 and c * p + 1 <= 40:
+            if ok(c) and c * p + 1 <= 40:
                 best = c
+        if best is None:
+            for c in range(1, n + 1):
+                if ok(c):
+                    best = c
+                    break
         return best
+
+    def usable(self) -> bool:
+        return all(self._pallas_chunk(a) is not None for a in range(3))
 
     def _axis_parts(self, a: int, dtype):
         lat = self.lat

@@ -124,3 +124,38 @@ def test_sponge_damps_outgoing_wave():
     inside = un[coords < 0.10].max()
     deep = un[coords > 0.19].max()
     assert deep < 0.5 * inside  # wave decays through the sponge pad
+
+
+def test_focused_source_focal_gain():
+    """Phased-aperture focusing (HITU bowl analogue): the field near the
+    geometric focus must exceed the source-plane field after the front
+    passes (focal gain), and the beam stays on axis."""
+    import jax.numpy as jnp
+
+    from fenicsxfus_tpu import create_rectangle
+    from fenicsxfus_tpu.models.focused import WesterveltSpectralFocused
+
+    c0, rho0 = 1.0, 1.0
+    f0 = 20.0
+    p0 = 1.0
+    L, W = 1.0, 1.0
+    nx = 50
+    mesh = create_rectangle((nx, nx), (0, -W / 2), (L, W / 2))
+    tag_boundaries(mesh, {1: lambda x: x[0] < 1e-12}, default=2)
+    F = 0.5
+    dt = 0.5 * (L / nx) / (c0 * 16)
+    eqn = WesterveltSpectralFocused(
+        mesh, None, 4, c0, rho0, 0.0, 0.0, f0, p0, c0, 4, dt,
+        aperture_radius=0.35, focal_distance=F, dtype=jnp.float64,
+    )
+    eqn.init()
+    u, v, tf = eqn.rk(0.0, F / c0 + 6.0 / f0)
+    un = np.abs(np.asarray(u))
+    coords = eqn.ops.space.dof_coords
+    on_axis = np.abs(coords[:, 1]) < 0.05
+    near_focus = on_axis & (np.abs(coords[:, 0] - F) < 0.1)
+    near_source = (coords[:, 0] < 0.1) & (np.abs(coords[:, 1]) < 0.3)
+    gain = un[near_focus].max() / un[near_source].max()
+    assert gain > 1.5, gain  # clear focal amplification
+    off_axis = (np.abs(coords[:, 1]) > 0.4) & (np.abs(coords[:, 0] - F) < 0.1)
+    assert un[near_focus].max() > 3 * un[off_axis].max()

@@ -15,7 +15,9 @@ def test_pallas_matches_lattice(degree, monkeypatch):
 
     from fenicsxfus_tpu.ops.pallas_stiffness import PallasLatticeStiffness
 
-    mesh = create_box((4, 3, 2), (0, 0, 0), (0.9, 0.7, 0.5))
+    # grid sizes chosen so each axis admits a sublane-aligned window chunk
+    # (stride c·p and rows c·N both multiples of 8 ⇒ n divisible by 8 here)
+    mesh = create_box((8, 8, 8), (0, 0, 0), (0.9, 0.7, 0.5))
     ops = SEMOperators(mesh, degree, dtype=jnp.float64)
     coeff = 1.7
     rng = np.random.default_rng(0)
@@ -26,3 +28,14 @@ def test_pallas_matches_lattice(degree, monkeypatch):
         y = pk.apply(x, coeff)
     err = np.max(np.abs(np.asarray(y) - np.asarray(y_ref)))
     assert err < 1e-11 * np.max(np.abs(np.asarray(y_ref))), err
+
+
+def test_pallas_unusable_mesh_falls_back():
+    """Meshes without sublane-aligned window chunks must report unusable
+    (the operator then stays on the XLA lattice path)."""
+    from fenicsxfus_tpu.ops.pallas_stiffness import PallasLatticeStiffness
+
+    mesh = create_box((4, 3, 2), (0, 0, 0), (1, 1, 1))
+    ops = SEMOperators(mesh, 2, dtype=jnp.float64)
+    pk = PallasLatticeStiffness(ops.lattice)
+    assert not pk.usable()
