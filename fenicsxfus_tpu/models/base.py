@@ -204,11 +204,13 @@ class ImplicitModelBase(SpectralModelBase):
         return run
 
     def dirk(self, t0: float, tf: float):
+        from .common import run_segmented
+
         if self._run is None:
             self._run = self._build_run()
-        dts = jnp.asarray(step_sizes(t0, tf, self.dt), self.dtype)
-        u, v, t = self._run(
-            self.consts, self.u_n, self.v_n, jnp.asarray(t0, self.dtype), dts
+        dts = np.asarray(step_sizes(t0, tf, self.dt))
+        u, v, t = run_segmented(
+            self._run, self.consts, self.u_n, self.v_n, t0, dts, self.dtype
         )
         self.u_n, self.v_n, self.t = u, v, float(t)
         return self.u_n, self.v_n, self.t

@@ -140,7 +140,31 @@ def make_rk_scan(rhs, order: int, dtype):
         return u, v, t
 
     def solve(consts, u, v, t0: float, tf: float, dt: float):
-        dts = jnp.asarray(step_sizes(t0, tf, dt), dtype)
-        return run(consts, u, v, jnp.asarray(t0, dtype), dts)
+        dts = np.asarray(step_sizes(t0, tf, dt))
+        return run_segmented(run, consts, u, v, t0, dts, dtype)
 
     return solve
+
+
+def run_segmented(run, consts, u, v, t0, dts, dtype):
+    """Execute a step loop in bounded launches.
+
+    Very long single scans (≳5000 steps / many minutes of continuous
+    execution) crash the axon TPU worker ("TPU worker process crashed or
+    restarted"); splitting into fixed-size segments keeps each program
+    execution short. Segment size is fixed so at most two programs compile
+    (the main size and one remainder); a scalar sync between segments
+    bounds the dispatch queue. Tunable via FUS_MAX_STEPS_PER_LAUNCH."""
+    import os
+
+    K = int(os.environ.get("FUS_MAX_STEPS_PER_LAUNCH", "500"))
+    t = jnp.asarray(t0, dtype)
+    i = 0
+    n = len(dts)
+    while i < n:
+        seg = jnp.asarray(dts[i : i + K], dtype)
+        u, v, t = run(consts, u, v, t, seg)
+        i += K
+        if i < n:
+            _ = float(t)  # sync: keep each launch's execution bounded
+    return u, v, t

@@ -170,13 +170,22 @@ class LinearSpectralNewmark(SpectralModelBase):
             return (u1, v1, w1, t1), None
 
         @jax.jit
-        def run(u, v, w, t0v, dts):
+        def run(consts_unused, uvw, t0v, dts):
+            u, v, w = uvw
             (u, v, w, t), _ = jax.lax.scan(step, (u, v, w, t0v), dts)
-            return u, v, w, t
+            return (u, v, w), t
 
-        dts = jnp.asarray(step_sizes(t0, tf, self.dt), self.dtype)
-        u, v, w, t = run(self.u_n, self.v_n, self.w_n,
-                         jnp.asarray(t0, self.dtype), dts)
+        from .common import run_segmented
+
+        def run_adapter(consts, uvw, _unused, t0v, dts):
+            (u, v, w), t = run(consts, uvw, t0v, dts)
+            return (u, v, w), None, t
+
+        dts = np.asarray(step_sizes(t0, tf, self.dt))
+        (u, v, w), _, t = run_segmented(
+            run_adapter, None, (self.u_n, self.v_n, self.w_n), None, t0, dts,
+            self.dtype,
+        )
         self.u_n, self.v_n, self.w_n, self.t = u, v, w, float(t)
         return self.u_n, self.v_n, self.w_n, self.t
 

@@ -112,21 +112,29 @@ class SEMOperators:
     @property
     def gidx(self):
         if not hasattr(self, "_gidx"):
-            self._gidx = jnp.asarray(
-                self.space.dofmap.reshape((self.num_cells,) + (self.N,) * self.d)
-            )
+            # ensure_compile_time_eval: these may first be touched inside a
+            # jit trace — caching a traced constant would leak a tracer into
+            # later traces.
+            with jax.ensure_compile_time_eval():
+                self._gidx = jnp.asarray(
+                    self.space.dofmap.reshape(
+                        (self.num_cells,) + (self.N,) * self.d
+                    )
+                )
         return self._gidx
 
     @property
     def perm(self):
         if not hasattr(self, "_perm"):
-            self._perm = jnp.asarray(self.space.scatter_perm)
+            with jax.ensure_compile_time_eval():
+                self._perm = jnp.asarray(self.space.scatter_perm)
         return self._perm
 
     @property
     def segids(self):
         if not hasattr(self, "_segids"):
-            self._segids = jnp.asarray(self.space.scatter_segids)
+            with jax.ensure_compile_time_eval():
+                self._segids = jnp.asarray(self.space.scatter_segids)
         return self._segids
 
     @property
@@ -137,7 +145,8 @@ class SEMOperators:
         if not hasattr(self, "_K_ref"):
             if self.uniform:
                 K = _reference_stiffness_matrix(self.N, self.d, self._G_np[0])
-                self._K_ref = jnp.asarray(K, self.dtype)
+                with jax.ensure_compile_time_eval():
+                    self._K_ref = jnp.asarray(K, self.dtype)
             else:
                 self._K_ref = None
         return self._K_ref

@@ -244,7 +244,7 @@ class ShardedExplicitSolver:
             (u, v, t), _ = jax.lax.scan(
                 partial(local_step, consts), (u, v, t0), dts
             )
-            return u[None], v[None]
+            return u[None], v[None], t
 
         spec_consts = jax.tree.map(
             lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
@@ -254,19 +254,23 @@ class ShardedExplicitSolver:
             local_run,
             mesh=dec.jmesh,
             in_specs=(spec_consts, P(AXIS), P(AXIS), P(), P()),
-            out_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P()),
         )
         self._run = jax.jit(shmapped)
 
     def rk(self, t0: float, tf: float):
+        from ..models.common import run_segmented
+
         if self._run is None:
             self._build()
         dec, model = self.dec, self.model
         u = dec.to_stacked(model.u_n)
         v = dec.to_stacked(model.v_n)
-        dts = jnp.asarray(step_sizes(t0, tf, model.dt), model.dtype)
-        us, vs = self._run(self.consts, u, v, jnp.asarray(t0, model.dtype), dts)
-        t = t0 + float(np.sum(np.asarray(dts)))
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t = run_segmented(
+            self._run, self.consts, u, v, t0, dts, model.dtype
+        )
+        t = t0 + float(np.sum(dts))
         model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
         model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
         model.t = t

@@ -1,0 +1,63 @@
+"""Utilities: point evaluation, diffusivity conversion, timers."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsxfus_tpu import (
+    SEMOperators,
+    compute_diffusivity_of_sound,
+    compute_eval_params,
+    create_box,
+    create_rectangle,
+    eval_function,
+)
+from fenicsxfus_tpu.analysis.timing import Timer, list_timings, reset_timings, timeit_device
+
+
+def test_diffusivity_conversion():
+    # delta = 2 alphaNp c^3 / w^2 with alphaNp = dB/20*ln10 (reference utils.py:50-55)
+    w0, c0, adB = 2 * np.pi * 1e6, 1500.0, 10.0
+    d = compute_diffusivity_of_sound(w0, c0, adB)
+    aNp = adB / 20 * np.log(10)
+    assert abs(d - 2 * aNp * c0**3 / w0**2) < 1e-18
+
+
+def test_eval_function_polynomial_exact():
+    """GLL interpolation evaluates polynomials of degree <= p exactly at
+    arbitrary interior points (incl. a distorted mesh)."""
+    mesh = create_rectangle((4, 3), (0, 0), (2.0, 1.5))
+    rng = np.random.default_rng(0)
+    v = mesh.vertices
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    interior = np.all((v > lo + 1e-12) & (v < hi - 1e-12), axis=1)
+    v[interior] += 0.05 * (rng.random((interior.sum(), 2)) - 0.5)
+    ops = SEMOperators(mesh, 3, dtype=jnp.float64)
+    coords = ops.space.dof_coords
+    u = jnp.asarray(coords[:, 0] ** 3 - 2 * coords[:, 0] * coords[:, 1] ** 2)
+    pts = np.array([[0.31, 1.07, 1.93], [0.22, 0.9, 1.31]])
+    found, vals = eval_function(ops, u, pts)
+    exact = found[:, 0] ** 3 - 2 * found[:, 0] * found[:, 1] ** 2
+    assert len(vals) == 3
+    assert np.allclose(vals, exact, atol=1e-11)
+
+
+def test_eval_params_outside_points_dropped():
+    mesh = create_box((2, 2, 2))
+    pts = np.array([[0.5, 5.0], [0.5, 0.5], [0.5, 0.5]])  # second is outside
+    found, cells, xi = compute_eval_params(mesh, pts)
+    assert len(cells) == 1
+    assert np.allclose(found[0], [0.5, 0.5, 0.5])
+
+
+def test_timers():
+    reset_timings()
+    with Timer("scope_a"):
+        time.sleep(0.01)
+    x = jnp.ones(1000)
+    t = timeit_device("dev_op", lambda a: a * 2.0, x, n=3)
+    table = list_timings()
+    assert "scope_a" in table and "dev_op" in table
+    assert t >= 0
