@@ -7,7 +7,11 @@ Reference: ``cpp/fenicsx-sf-fastor/benchmarks/HITU/W-H101-WATER/main.cpp``
 steps per period (:108-111). The reference meshes the curved bowl; here a
 phased flat aperture focuses at the same depth (see models/focused.py).
 
-Run:  python benchmarks/hitu_h101_water.py [--nx 52] [--degree 4] [--periods 1.2]
+Run:  python benchmarks/hitu_h101_water.py [--nx 72] [--degree 4] [--periods 1.0]
+
+NOTE: the single-chip axon tunnel in this environment kills the TPU worker
+after ~10 minutes of cumulative execution; the default run length is sized
+to stay inside that envelope. On unconstrained hardware raise --periods.
 """
 
 import argparse
@@ -20,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def main(nx=88, degree=4, periods=1.6, full=False):
+def main(nx=72, degree=4, periods=1.0, full=False):
     import jax
     import jax.numpy as jnp
 
@@ -85,9 +89,9 @@ def main(nx=88, degree=4, periods=1.6, full=False):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nx", type=int, default=88)
+    ap.add_argument("--nx", type=int, default=72)
     ap.add_argument("--degree", type=int, default=4)
-    ap.add_argument("--periods", type=float, default=1.6)
+    ap.add_argument("--periods", type=float, default=1.0)
     ap.add_argument("--full", action="store_true",
                     help="true 1.1 MHz parameters (needs ~360M DOF resolved)")
     main(**vars(ap.parse_args()))
