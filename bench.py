@@ -65,6 +65,22 @@ def main():
     model.init()
     ndofs = model.number_of_dofs()
 
+    # Runtime self-check: the fused pallas kernels must agree with the XLA
+    # lattice path on this exact problem shape, else fall back (a tile-size
+    # bug once silently corrupted 20% of one axis at G=513).
+    ops = model.ops
+    pk = ops._pallas_kernel()
+    if pk is not None:
+        xs = jax.random.normal(jax.random.PRNGKey(0), ops.lattice.gdims, dtype)
+        y_p = pk.apply(xs, 1.0)
+        y_x = ops.lattice.apply_scaled([(xs, ops.pack_scales(1.0))])
+        rel = float(jnp.max(jnp.abs(y_p - y_x)) / jnp.max(jnp.abs(y_x)))
+        if not np.isfinite(rel) or rel > 1e-4:
+            _log(f"pallas self-check FAILED (rel {rel:.2e}); using XLA path")
+            ops._pallas_obj = None
+        else:
+            _log(f"pallas self-check ok (rel {rel:.2e})")
+
     # Build the jitted scan once, warm up, then time the full nsteps run.
     model._build()
     solve = model._solve

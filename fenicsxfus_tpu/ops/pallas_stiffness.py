@@ -199,7 +199,12 @@ class PallasLatticeStiffness:
         pad2 = (-G2) % 128
         R2 = G2 + pad2
         x1 = jnp.pad(x, ((0, 0), (0, 0), (0, pad2))) if pad2 else x
+        # TR2 must DIVIDE R2: the grid is R2//TR2 blocks, and a remainder
+        # would silently never be written (caused 6% relative error at
+        # G2=513 where R2=640, TR2=512 dropped columns 512:640).
         TR2 = min(self.tile_rows, R2)
+        while R2 % TR2 != 0:
+            TR2 -= 128
         rows = B.shape[0]
         y1 = pl.pallas_call(
             _make_kernel_first_batched(rows, nb, stride, width, self.precision),
