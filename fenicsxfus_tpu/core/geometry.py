@@ -114,6 +114,8 @@ def quadrature_factors(
 def is_uniform_mesh(mesh, rtol: float = 1e-12) -> bool:
     """True if every cell is the same axis-aligned translate (structured
     uniform grid) — enables the shared-element-matrix fast path."""
+    if getattr(mesh, "uniform_hint", False):
+        return True
     verts = mesh.cell_vertices()
     rel = verts - verts[:, :1, :]
     ref = rel[0]

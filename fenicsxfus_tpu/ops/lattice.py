@@ -149,10 +149,10 @@ class LatticeStiffness:
         """Cell-axis → weighted global lattice fold along ``axis``:
         out[g] = Σ_{cells c ∋ g} w_{local(g,c)} · t[c]."""
         n, p, N = self.grid[axis], self.p, self.N
-        w = self._w1
+        w = self._w1.astype(t.dtype)
         tm = np.moveaxis(t, axis, 0)  # [n, ...]
         G = n * p + 1
-        out = np.zeros((G,) + tm.shape[1:])
+        out = np.zeros((G,) + tm.shape[1:], t.dtype)
         for k in range(N):
             out[k::p][:n] += w[k] * tm  # node k of each cell sits at c*p+k
         return np.moveaxis(out, 0, axis)
@@ -200,11 +200,14 @@ class LatticeStiffness:
         """Assembled lumped-mass diagonal on the lattice (host, numpy):
         m[g] = Σ_{cells c ∋ g} coeff_c · w_i w_j w_k · detJ.  Returns the
         flat [ndofs] vector — the index-free analogue of the scatter-based
-        ``SEMOperators.assemble_diag``."""
-        arr = np.asarray(coeff_cells, np.float64)
+        ``SEMOperators.assemble_diag``. Folds run in the device dtype when
+        it is float32 (this host has ONE throttled core; float64
+        intermediates double the cost for no benefit on fp32 devices)."""
+        npdt = np.float32 if np.dtype(self.dtype) == np.float32 else np.float64
+        arr = np.asarray(coeff_cells, npdt)
         if arr.ndim == 0:
-            arr = np.full(self.grid, float(arr))
-        t = arr.reshape(self.grid) * float(np.prod(self.h))
+            arr = np.full(self.grid, arr, npdt)
+        t = arr.reshape(self.grid) * npdt(np.prod(self.h))
         for a in range(self.d):
             t = self._fold_weighted(t, a)
         return t.reshape(-1)

@@ -401,20 +401,22 @@ class SEMOperators:
         vector (tag 1) and the Sommerfeld ABC diagonal (tag 2); reference
         forms ``_linear.py:355-361``."""
         gdofs, w, cells = self.facet_data(tag)
+        npdt = np.float32 if np.dtype(self.dtype) == np.float32 else np.float64
         coeff = np.broadcast_to(
-            np.asarray(cell_coeff, np.float64).reshape(-1), (self.num_cells,)
+            np.asarray(cell_coeff, npdt).reshape(-1), (self.num_cells,)
         )
-        vals = np.asarray(w) * (
+        vals = np.asarray(w, npdt) * (
             np.repeat(coeff[cells], w.shape[0] // max(len(cells), 1))
             if len(cells)
-            else np.zeros(0)
+            else np.zeros(0, npdt)
         )
         # Host assembly: XLA lowers scalar scatter-add near-serially on TPU
         # (minutes for ~1M updates); numpy does it in milliseconds, and facet
-        # vectors are one-time setup data.
-        out = np.zeros(self.ndofs)
+        # vectors are one-time setup data. Built in the device dtype to avoid
+        # float64 traffic on this single-core host.
+        out = np.zeros(self.ndofs, npdt)
         np.add.at(out, np.asarray(gdofs), vals)
-        return jnp.asarray(out, self.dtype)
+        return jnp.asarray(out)
 
     def facet_vector_nodal(self, tag: int, nodal_coeff) -> jnp.ndarray:
         """Assembled ∫_{Γ_tag} c(x) φ_i ds with a per-DOF coefficient —
@@ -422,11 +424,12 @@ class SEMOperators:
         ``_experimental.py:431-439``) and the sponge δ(x)-weighted facet
         mass (``:898-905``)."""
         gdofs, w, cells = self.facet_data(tag)
+        npdt = np.float32 if np.dtype(self.dtype) == np.float32 else np.float64
         gd = np.asarray(gdofs)
-        vals = np.asarray(w) * np.asarray(nodal_coeff, np.float64)[gd]
-        out = np.zeros(self.ndofs)
+        vals = np.asarray(w, npdt) * np.asarray(nodal_coeff, npdt)[gd]
+        out = np.zeros(self.ndofs, npdt)
         np.add.at(out, gd, vals)
-        return jnp.asarray(out, self.dtype)
+        return jnp.asarray(out)
 
     # ------------------------------------------------------------ interpolation
 

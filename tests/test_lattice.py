@@ -69,5 +69,6 @@ def test_lattice_disabled_on_distorted_mesh():
     lo, hi = v.min(axis=0), v.max(axis=0)
     interior = np.all((v > lo + 1e-12) & (v < hi - 1e-12), axis=1)
     v[interior] += 0.02 * (rng.random((interior.sum(), 2)) - 0.5)
+    mesh.uniform_hint = False
     ops = SEMOperators(mesh, 3, dtype=jnp.float64)
     assert ops.lattice is None

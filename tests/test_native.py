@@ -19,6 +19,7 @@ def test_native_matches_numpy(dim):
     lo, hi = v.min(axis=0), v.max(axis=0)
     interior = np.all((v > lo + 1e-12) & (v < hi - 1e-12), axis=1)
     v[interior] += 0.03 * (rng.random((interior.sum(), dim)) - 0.5)
+    mesh.uniform_hint = False
 
     N = 5
     x1, w1 = gll_points_weights_01(N)

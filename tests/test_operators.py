@@ -31,6 +31,7 @@ def distort(mesh, amp=0.15, seed=0):
     interior = np.all((v > lo + 1e-12) & (v < hi - 1e-12), axis=1)
     h = (hi - lo).max() / max(np.asarray(mesh.grid_shape).max(), 1)
     v[interior] += amp * h * (rng.random((interior.sum(), mesh.dim)) - 0.5)
+    mesh.uniform_hint = False  # vertices mutated in place
     mesh.grid_shape_distorted = True
     return mesh
 

@@ -34,6 +34,7 @@ def test_eval_function_polynomial_exact():
     lo, hi = v.min(axis=0), v.max(axis=0)
     interior = np.all((v > lo + 1e-12) & (v < hi - 1e-12), axis=1)
     v[interior] += 0.05 * (rng.random((interior.sum(), 2)) - 0.5)
+    mesh.uniform_hint = False
     ops = SEMOperators(mesh, 3, dtype=jnp.float64)
     coords = ops.space.dof_coords
     u = jnp.asarray(coords[:, 0] ** 3 - 2 * coords[:, 0] * coords[:, 1] ** 2)
