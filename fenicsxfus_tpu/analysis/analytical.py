@@ -61,12 +61,12 @@ def mendousse(x, t, c0, f0, p0, rho0, beta, delta, nterms=30):
     sigma = x / xsh
     tau = w0 * (t - x / c0)
     num = np.zeros_like(np.broadcast_arrays(x, t)[0], dtype=float)
-    den = np.full_like(num, iv(0, gamma / 2.0) / 2.0)
+    den = np.full_like(num, iv(0, gamma / 2.0))
     for n in range(1, nterms):
         In = iv(n, gamma / 2.0)
         e = np.exp(-(n**2) * sigma / gamma)
         num = num + (-1) ** (n + 1) * n * In * e * np.sin(n * tau)
-        den = den + (-1) ** n * In * e * np.cos(n * tau)
+        den = den + 2.0 * (-1) ** n * In * e * np.cos(n * tau)
     return p0 * (4.0 / gamma) * num / den
 
 

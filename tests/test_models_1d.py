@@ -163,3 +163,36 @@ def test_linear_gauss_explicit(degree, epw):
         eqn.ops, u_n, lambda x: planewave(x[0], tf, C0, F0, p0)
     )
     assert err < 1e-3, err
+
+
+def test_westervelt_vs_mendousse():
+    """Nonlinear + thermoviscous propagation vs Mendousse's exact Burgers
+    solution at the shock-formation distance (the reference's MENDOUSSE
+    benchmark, ``python/benchmarks/MENDOUSSE/mendousse.py``)."""
+    from fenicsxfus_tpu import compute_diffusivity_of_sound, eval_function
+    from fenicsxfus_tpu.analysis.analytical import mendousse
+
+    f0, p0 = 1e6, 5e6
+    c0, rho0, beta0 = 1500.0, 1000.0, 4.8
+    w0 = 2 * np.pi * f0
+    delta0 = compute_diffusivity_of_sound(w0, c0, 25.0)
+    xsh = rho0 * c0**3 / beta0 / p0 / w0
+    Ld = 0.03
+    degree, epw = 4, 6
+    nx = int(epw * Ld * f0 / c0 + 1)
+    mesh = create_interval(nx, 0.0, Ld)
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > Ld - 1e-12}
+    )
+    dt = 0.25 * (Ld / nx) / (c0 * degree**2)
+    eqn = WesterveltSpectralExplicit(
+        mesh, None, degree, c0, rho0, delta0, beta0, f0, p0, c0, 4, dt,
+        dtype=jnp.float64,
+    )
+    eqn.init()
+    u, v, tf = eqn.rk(0.0, Ld / c0 + 8.0 / f0)
+    xs = np.array([xsh])  # sigma = 1
+    _, vals = eval_function(eqn.ops, u, xs[None, :])
+    exact = float(mendousse(xsh, tf, c0, f0, p0, rho0, beta0, delta0))
+    rel = abs(vals[0] - exact) / abs(exact)
+    assert rel < 0.1, (vals[0], exact, rel)  # reference Westervelt gate; 0.1% at p=10 (benchmarks/mendousse.py)
