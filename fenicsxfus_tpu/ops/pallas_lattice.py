@@ -1,0 +1,400 @@
+"""Fused Pallas lattice stiffness, v2: banded K1 matmuls + in-kernel fold.
+
+Replaces ``ops/pallas_stiffness.py`` (v1) as the TPU hot path. What changed
+and why (measured on v5e; see ``benchmarks/operator_timings_v5e.txt``):
+
+* v1 did the textbook sum-factorised chain (B, scale, Bᵀ) with tiny window
+  matmuls (M=40, K=33 at p=4) — <10% MXU utilisation — and left the
+  perpendicular scaling + 3-axis accumulation to XLA as extra full-volume
+  HBM passes. It measured ~20-24 ms per apply at 38.3M DOF.
+* v2 exploits that the GLL weight along the contraction axis is constant
+  per node index, so the forward/backward derivative pair contracts into
+  ONE local matrix  K1 = Dᵀ·diag(w₁)·D  [N, N] applied per cell window,
+  and the coefficient separates as  S_a[(c,k), ⊥] = w₁[k]·F_a[c, ⊥]  with
+  F_a the coefficient folded over the perpendicular axes — **cell**
+  resolution along axis a. This holds for constant AND heterogeneous DG-0
+  coefficients, so heterogeneous media get the fused path too (reference
+  multi-region setup: ``cpp/fenicsx-sf-fastor/benchmarks/HITU/W-H101-LIVER/
+  main.cpp:79-111``).
+* chunks of ~120/p cells make the banded matmul [cc·N, cc·p+1] — M≈150,
+  K≈121 at p=4 — near-full MXU tiles; the overlap-add fold and the F
+  scaling happen on values in VMEM (reshape/concat, no strided ref ops —
+  strided VMEM ref slices crashed the TPU worker in v1 tuning).
+* two kernels per apply instead of three-plus-XLA-glue:
+  - kernel A: axis 0 on the [G0, R] view, grid over column tiles;
+  - kernel B: axes 1 and 2 on [1, G1, G2] blocks, grid over G0, which
+    accumulates A's partial result in place (input/output aliased).
+  Total HBM traffic ≈ 5 field passes (vs ~14 in v1).
+
+The reference operator this replaces: ``cpp/fenicsx-sf/common/
+spectral_op.hpp:173-243`` (StiffnessSpectral3D).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.gll import diff_matrix, gll_points_weights_01
+
+
+def _k1_matrix(p: int) -> np.ndarray:
+    """Local 1D pre-contracted operator K1 = Dᵀ diag(w) D on the unit cell."""
+    N = p + 1
+    D = diff_matrix(N)
+    _, w = gll_points_weights_01(N)
+    return D.T @ (w[:, None] * D)
+
+
+def _banded_k1(cells: int, p: int) -> np.ndarray:
+    """Banded unfold∘K1 matrix [cells·N, cells·p+1]: row (c, k) holds
+    K1[k, :] at columns c·p .. c·p+p (windows overlap one lattice node)."""
+    N = p + 1
+    K1 = _k1_matrix(p)
+    W = cells * p + 1
+    B = np.zeros((cells * N, W))
+    for c in range(cells):
+        B[c * N : (c + 1) * N, c * p : c * p + N] = K1
+    return B
+
+
+def _chunk_cells(p: int, cap: int = 120) -> int:
+    """Cells per full chunk: largest m ≤ cap with m % p == 0 and m % 8 == 0
+    (8-aligned value slices, contraction width m+1 just under the 128-lane
+    MXU tile), returned as cells = m/p."""
+    best = p  # at least one cell
+    for m in range(p, cap + 1, p):
+        if m % 8 == 0:
+            best = m
+    return max(best // p, 1)
+
+
+def _chunk_plan(n_cells: int, p: int):
+    """[(cell_lo, cells_in_chunk), ...] covering the axis."""
+    cc = min(_chunk_cells(p), n_cells)
+    plan = []
+    lo = 0
+    while lo < n_cells:
+        c = min(cc, n_cells - lo)
+        plan.append((lo, c))
+        lo += c
+    return plan
+
+
+def _fold_value(z, p: int):
+    """Overlap-add fold of per-cell blocks, on a kernel value.
+
+    ``z``: [na, N, T] (contraction on the leading axes) → [na·p+1, T].
+    Row (c, k) of the window representation lands on lattice row c·p+k;
+    k = p of cell c coincides with k = 0 of cell c+1.
+    """
+    na, N, T = z.shape[0], z.shape[1], z.shape[2]
+    main = z[:, : N - 1, :].reshape(na * (N - 1), T)
+    brow = z[:, N - 1, :]  # [na, T]
+    y_main = jnp.concatenate([main, brow[na - 1 :, :]], axis=0)
+    shift = jnp.concatenate(
+        [jnp.zeros((1, T), z.dtype), brow[: na - 1, :]], axis=0
+    )
+    zb = jnp.concatenate(
+        [shift[:, None, :], jnp.zeros((na, N - 2, T), z.dtype)], axis=1
+    ).reshape(na * (N - 1), T)
+    y_extra = jnp.concatenate([zb, jnp.zeros((1, T), z.dtype)], axis=0)
+    return y_main + y_extra
+
+
+class LatticePallasStiffness:
+    """Fused 3D lattice stiffness y = Σ_f Σ_a fold(K1·unfold(x_f))∘S_a^f.
+
+    Coefficients are passed as packed per-axis F tensors (``pack_const`` /
+    ``pack_field``); both spatially constant and DG-0 heterogeneous media
+    run the same fused kernels.
+    """
+
+    def __init__(self, lattice, tile_cols: int = 512, interpret: bool = False):
+        assert lattice.d == 3, "pallas v2 path is 3D"
+        self.lat = lattice
+        self.p = lattice.p
+        self.N = lattice.N
+        self.grid = lattice.grid
+        self.gdims = lattice.gdims
+        self.tile_cols = tile_cols
+        self.interpret = interpret
+        self.plans = [_chunk_plan(self.grid[a], self.p) for a in range(3)]
+        # distinct chunk sizes per axis → one banded K1 operand per size
+        self._bk_np = {}
+        for plan in self.plans:
+            for _, c in plan:
+                if c not in self._bk_np:
+                    self._bk_np[c] = _banded_k1(c, self.p)
+
+    # ------------------------------------------------------------- packing
+
+    def usable(self, vmem_budget_bytes: int = 6 << 20) -> bool:
+        """Kernel B holds [G1, G2] x/out planes plus the window-rep z in
+        VMEM; refuse shapes that would blow the budget."""
+        G0, G1, G2 = self.gdims
+        itemsize = np.dtype(self.lat.dtype).itemsize
+        plane = G1 * G2 * itemsize
+        zmax = max(G1 * self.N // self.p + self.N, G2 * self.N // self.p + self.N)
+        need = plane * 3 + zmax * max(G1, G2) * itemsize * 2
+        return need <= vmem_budget_bytes
+
+    def pack_const(self, coeff: float):
+        """Per-axis F tensors for a spatially constant coefficient."""
+        lat = self.lat
+        c = float(coeff)
+        wg = [np.asarray(lat._wg[a]) for a in range(3)]
+        G0, G1, G2 = self.gdims
+        F0 = (c * lat._geo[0]) * np.outer(wg[1], wg[2]).reshape(1, G1 * G2)
+        F1 = (c * lat._geo[1]) * (
+            wg[0][:, None, None] * wg[2][None, None, :]
+        )  # [G0, 1, G2]
+        # F2 is stored TRANSPOSED on the trailing axes ([G0, n2, G1]): the
+        # axis-2 kernel contracts the lane dim directly into a [cells·N, G1]
+        # result (Mosaic cannot split lane dims), so its scale/fold runs in
+        # the transposed layout.
+        F2 = (c * lat._geo[2]) * (
+            wg[0][:, None, None] * wg[1][None, None, :]
+        )  # [G0, 1, G1]
+        dt = self.lat.dtype
+        return {
+            "F0": jnp.asarray(F0, dt),
+            "F1": jnp.asarray(F1, dt),
+            "F2": jnp.asarray(F2, dt),
+        }
+
+    def pack_field(self, coeff_cells: np.ndarray):
+        """Per-axis F tensors for a DG-0 coefficient field: the coefficient
+        folded (weighted) over the perpendicular axes, cell-resolved along
+        the contraction axis — ~1/p of a field per axis vs the full
+        mixed-rep scale tensors of the XLA path."""
+        lat = self.lat
+        c = np.asarray(coeff_cells, np.float64).reshape(self.grid)
+        outs = []
+        for a in range(3):
+            t = c.copy()
+            for b in range(3):
+                if b != a:
+                    t = lat._fold_weighted(t, b)
+            outs.append(lat._geo[a] * t)  # cell axis a, lattice elsewhere
+        F0 = outs[0].reshape(self.grid[0], -1)  # [n0, G1*G2]
+        F1 = outs[1]  # [G0, n1, G2]
+        F2 = np.swapaxes(outs[2], 1, 2)  # [G0, n2, G1] (transposed, see pack_const)
+        dt = self.lat.dtype
+        return {
+            "F0": jnp.asarray(F0, dt),
+            "F1": jnp.asarray(F1, dt),
+            "F2": jnp.asarray(F2, dt),
+        }
+
+    # ------------------------------------------------------------- kernels
+
+    def _prec(self):
+        from .lattice import _precision
+
+        return _precision()
+
+    def _axis_chunk_apply(self, x, plan, bk_by_cells, F, hetero, prec, last_axis):
+        """Shared chunk loop: contract/scale along the leading (or last)
+        axis of a 2D value ``x`` and return the folded result.
+
+        ``x``: [Ga, T] (last_axis=False) or [T, Ga] (last_axis=True). The
+        last-axis variant contracts the lane dim into a [cells·N, T]
+        (transposed) intermediate — Mosaic cannot split lane dims — so its
+        result comes back TRANSPOSED [Ga', T] and ``F`` is [na or 1, T] in
+        both variants.
+        """
+        N, p = self.N, self.p
+        zs = []
+        for lo_c, cells in plan:
+            lo = lo_c * p
+            W = cells * p + 1
+            bk = bk_by_cells[cells]
+            if last_axis:
+                xw = x[:, lo : lo + W]
+                z = jax.lax.dot_general(
+                    bk,
+                    xw,
+                    (((1,), (1,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=x.dtype,
+                )  # [cells*N, T]
+            else:
+                xw = x[lo : lo + W, :]
+                z = jnp.dot(
+                    bk, xw, precision=prec, preferred_element_type=x.dtype
+                )  # [cells*N, T]
+            z = z.reshape(cells, N, z.shape[-1])
+            s = F[lo_c : lo_c + cells, :] if hetero else F[0:1, :]
+            z = z * s[:, None, :]
+            zs.append(z)
+        z = jnp.concatenate(zs, axis=0)  # [na, N, T]
+        return _fold_value(z, p)
+
+    @functools.cached_property
+    def _bk_ops(self):
+        """Banded K1 operands, ordered by cell count (stable order). May be
+        first touched inside a jit trace — force compile-time constants so a
+        traced value never gets cached (same rationale as SEMOperators.gidx)."""
+        keys = sorted(self._bk_np)
+        with jax.ensure_compile_time_eval():
+            ops = [jnp.asarray(self._bk_np[k], self.lat.dtype) for k in keys]
+        return keys, ops
+
+    def _kernel_axis0(self, n_fields, hetero):
+        plan = self.plans[0]
+        prec = self._prec()
+        bk_keys, _ = self._bk_ops
+        nbk = len(bk_keys)
+
+        def kernel(*refs):
+            xs = [refs[i][:, :] for i in range(n_fields)]
+            Fs = [refs[n_fields + i][:, :] for i in range(n_fields)]
+            bks = {
+                bk_keys[i]: refs[2 * n_fields + i][:, :] for i in range(nbk)
+            }
+            out_ref = refs[-1]
+            acc = None
+            for f in range(n_fields):
+                y = self._axis_chunk_apply(
+                    xs[f], plan, bks, Fs[f], hetero[f], prec, last_axis=False
+                )
+                acc = y if acc is None else acc + y
+            out_ref[:, :] = acc
+
+        return kernel
+
+    def _kernel_axes12(self, n_fields, hetero):
+        plan1, plan2 = self.plans[1], self.plans[2]
+        prec = self._prec()
+        bk_keys, _ = self._bk_ops
+        nbk = len(bk_keys)
+
+        def kernel(*refs):
+            i = 0
+            xs = [refs[i + f][0, :, :] for f in range(n_fields)]
+            i += n_fields
+            F1s = [refs[i + f][0, :, :] for f in range(n_fields)]
+            i += n_fields
+            F2s = [refs[i + f][0, :, :] for f in range(n_fields)]
+            i += n_fields
+            bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}
+            i += nbk
+            yA = refs[i][0, :, :]
+            out_ref = refs[-1]
+            acc = yA
+            y2t = None
+            for f in range(n_fields):
+                # axis 1: contract rows of [G1, G2]
+                acc = acc + self._axis_chunk_apply(
+                    xs[f], plan1, bks, F1s[f], hetero[f], prec, last_axis=False
+                )
+                # axis 2: lane-dim contraction → transposed result [G2, G1]
+                # (F2 is packed transposed); one transpose per block at the end
+                y2 = self._axis_chunk_apply(
+                    xs[f], plan2, bks, F2s[f], hetero[f], prec, last_axis=True
+                )
+                y2t = y2 if y2t is None else y2t + y2
+            out_ref[0, :, :] = acc + y2t.T
+
+        return kernel
+
+    # --------------------------------------------------------------- apply
+
+    def apply(self, xs, Fs):
+        """y = Σ_f K_{coeff_f}(x_f); xs lattice-shaped [G0, G1, G2] (or flat
+        [ndofs]); Fs = packed dicts from ``pack_const``/``pack_field``."""
+        G0, G1, G2 = self.gdims
+        n_fields = len(xs)
+        dtype = self.lat.dtype
+        xs = [x.reshape(self.gdims) for x in xs]
+        hetero = tuple(F["F0"].shape[0] != 1 for F in Fs)
+        bk_keys, bk_ops = self._bk_ops
+
+        # ---- kernel A: axis 0 on the [G0, R] view
+        R = G1 * G2
+        TC = min(self.tile_cols, R)
+        grid_a = ((R + TC - 1) // TC,)
+        in_specs = []
+        args = []
+        for f in range(n_fields):
+            in_specs.append(
+                pl.BlockSpec((G0, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(xs[f].reshape(G0, R))
+        for f in range(n_fields):
+            nF = Fs[f]["F0"].shape[0]
+            in_specs.append(
+                pl.BlockSpec((nF, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(Fs[f]["F0"])
+        for bk in bk_ops:
+            in_specs.append(
+                pl.BlockSpec(bk.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(bk)
+        yA = pl.pallas_call(
+            self._kernel_axis0(n_fields, hetero),
+            grid=grid_a,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (G0, TC), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((G0, R), dtype),
+            interpret=self.interpret,
+        )(*args)
+
+        # ---- kernel B: axes 1+2 on [1, G1, G2] blocks, accumulate into yA
+        in_specs = []
+        args = []
+        for f in range(n_fields):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(xs[f])
+        for f in range(n_fields):
+            n1 = Fs[f]["F1"].shape[1]
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(Fs[f]["F1"])
+        for f in range(n_fields):
+            n2 = Fs[f]["F2"].shape[1]  # stored transposed: [G0, n2, G1]
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n2, G1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(Fs[f]["F2"])
+        for bk in bk_ops:
+            in_specs.append(
+                pl.BlockSpec(bk.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(bk)
+        # aliased accumulator: kernel B adds axes-1/2 contributions in place
+        ya_idx = len(args)
+        in_specs.append(
+            pl.BlockSpec((1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(yA.reshape(self.gdims))
+        y = pl.pallas_call(
+            self._kernel_axes12(n_fields, hetero),
+            grid=(G0,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(self.gdims, dtype),
+            input_output_aliases={ya_idx: 0},
+            interpret=self.interpret,
+        )(*args)
+        return y
