@@ -18,11 +18,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The fused Pallas stiffness is opt-in globally (very long runs exceed this
-# environment's ~10-min TPU worker execution envelope), but the benchmark's
-# 101-step run executes ~15 s and this exact configuration is stable —
-# measured ~1.5× faster than the XLA lattice path.
-os.environ.setdefault("FUS_PALLAS", "1")
+# The fused Pallas path (stiffness kernels + fully-fused RK stage) is the
+# default on TPU; FUS_PALLAS=0 / FUS_FUSED=0 select the XLA fallbacks.
 
 
 def main():
@@ -69,15 +66,19 @@ def main():
     # lattice path on this exact problem shape, else fall back (a tile-size
     # bug once silently corrupted 20% of one axis at G=513).
     ops = model.ops
-    pk = ops._pallas_kernel()
+    pk = ops.pallas2
     if pk is not None:
         xs = jax.random.normal(jax.random.PRNGKey(0), ops.lattice.gdims, dtype)
-        y_p = pk.apply(xs, 1.0)
+        y_p = pk.apply([xs], [pk.pack_const(1.0)])
         y_x = ops.lattice.apply_scaled([(xs, ops.pack_scales(1.0))])
         rel = float(jnp.max(jnp.abs(y_p - y_x)) / jnp.max(jnp.abs(y_x)))
         if not np.isfinite(rel) or rel > 1e-4:
             _log(f"pallas self-check FAILED (rel {rel:.2e}); using XLA path")
-            ops._pallas_obj = None
+            os.environ["FUS_PALLAS"] = "0"
+            model = LinearSpectralExplicit(
+                mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
+            )
+            model.init()
         else:
             _log(f"pallas self-check ok (rel {rel:.2e})")
 

@@ -99,6 +99,10 @@ class ExplicitModelBase(SpectralModelBase):
 
     def _build(self):
         ops = self.ops
+        fused = self._try_build_fused()
+        if fused is not None:
+            self._solve = fused
+            return
         if hasattr(type(self), "rhs_pure"):
             rhs_pure = type(self).rhs_pure
             rhs = lambda consts, t, u, v: rhs_pure(ops, consts, t, u, v)  # noqa: E731
@@ -108,6 +112,60 @@ class ExplicitModelBase(SpectralModelBase):
             # small scales these are used at
             rhs = lambda consts, t, u, v: self.rhs(t, u, v)  # noqa: E731
         self._solve = make_rk_scan(rhs, self.rk_order, self.dtype)
+
+    def _try_build_fused(self):
+        """Fully-fused Pallas RK stage (see ``ops/pallas_stage.py``): used
+        when the model declares ``FUSED_KIND`` on its own class, the pallas
+        lattice path is active, and all required consts are packed.
+        FUS_FUSED=0 forces the reference (unfused) scan."""
+        import os
+
+        kind = type(self).__dict__.get("FUSED_KIND")
+        pk = getattr(self.ops, "pallas2", None)
+        if not kind or pk is None or os.environ.get("FUS_FUSED", "") == "0":
+            return None
+        from ..ops.pallas_stage import (
+            KIND_DENSE,
+            KIND_FACET,
+            FusedRKStage,
+            pack_facet_vector,
+        )
+        from .common import explicit_tables, make_scan_from_step
+
+        keys = type(self).STIFF_KEYS
+        dense_keys = KIND_DENSE[kind]
+        facet_keys = KIND_FACET[kind]
+        Fs = [self.consts.get(k) for k in keys]
+        if not all(isinstance(F, dict) for F in Fs):
+            return None
+        if not all(k in self.consts for k in dense_keys + facet_keys):
+            return None
+        # pack the facet vectors once (host-side); any interior support
+        # means the model isn't in the pure boundary-term family → unfused
+        for k in facet_keys:
+            pf_key = k + "__pf"
+            if pf_key not in self.consts:
+                packed = pack_facet_vector(
+                    np.asarray(self.consts[k]), pk.gdims
+                )
+                if packed is None:
+                    return None
+                self.consts[pf_key] = {
+                    n: jnp.asarray(v, self.dtype) for n, v in packed.items()
+                }
+        hetero = [F["F0"].shape[0] != 1 for F in Fs]
+        stage = FusedRKStage(
+            pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
+        )
+        step = stage.make_step(
+            lambda c: [c[k] for k in keys],
+            lambda c: (
+                [c[k] for k in dense_keys],
+                [c[k + "__pf"] for k in facet_keys],
+            ),
+            source_amplitudes,
+        )
+        return make_scan_from_step(step, self.dtype)
 
     def rhs(self, t, u, v):
         return type(self).rhs_pure(self.ops, self.consts, t, u, v)

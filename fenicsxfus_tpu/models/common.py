@@ -108,6 +108,23 @@ def source_window(t, freq: float, alpha: float = 4.0):
     return jnp.where(on, ramp, 1.0), jnp.where(on, dramp, 0.0)
 
 
+def make_scan_from_step(step, dtype):
+    """Wrap a ``step(consts, (u, v, t), dt) -> ((u, v, t'), None)`` function
+    into the jitted, segmented time loop
+    ``solve(consts, u, v, t0, tf, dt) -> (u, v, t)``."""
+
+    @jax.jit
+    def run(consts, u, v, t0, dts):
+        (u, v, t), _ = jax.lax.scan(partial(step, consts), (u, v, t0), dts)
+        return u, v, t
+
+    def solve(consts, u, v, t0: float, tf: float, dt: float):
+        dts = np.asarray(step_sizes(t0, tf, dt))
+        return run_segmented(run, consts, u, v, t0, dts, dtype)
+
+    return solve
+
+
 def make_rk_scan(rhs, order: int, dtype):
     """Build a jitted explicit-RK time loop
     ``solve(consts, u, v, t0, tf, dt) -> (u, v, t)``.
@@ -134,16 +151,7 @@ def make_rk_scan(rhs, order: int, dtype):
             v_acc = v_acc + (b[i] * dtn) * kv
         return (u_acc, v_acc, t + dtn), None
 
-    @jax.jit
-    def run(consts, u, v, t0, dts):
-        (u, v, t), _ = jax.lax.scan(partial(step, consts), (u, v, t0), dts)
-        return u, v, t
-
-    def solve(consts, u, v, t0: float, tf: float, dt: float):
-        dts = np.asarray(step_sizes(t0, tf, dt))
-        return run_segmented(run, consts, u, v, t0, dts, dtype)
-
-    return solve
+    return make_scan_from_step(step, dtype)
 
 
 def run_segmented(run, consts, u, v, t0, dts, dtype):

@@ -70,6 +70,7 @@ class LinearSpectralExplicit(ExplicitModelBase):
     """Explicit-RK linear wave solver (reference ``_linear.py:258-513``)."""
 
     STIFF_KEYS = ("coeff_u",)
+    FUSED_KIND = "linear"
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float32):

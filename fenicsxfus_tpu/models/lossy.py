@@ -26,6 +26,7 @@ class LossySpectralExplicit(ExplicitModelBase):
     """Explicit-RK lossy solver (reference ``_lossy.py:12-294``)."""
 
     STIFF_KEYS = ("coeff_u", "coeff_v")
+    FUSED_KIND = "lossy"
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float32):

@@ -22,6 +22,7 @@ class WesterveltSpectralExplicit(ExplicitModelBase):
     """Explicit-RK Westervelt solver (reference ``_westervelt.py:12-329``)."""
 
     STIFF_KEYS = ("coeff_u", "coeff_v")
+    FUSED_KIND = "westervelt"
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, beta0, freq0,
                  p0, s0, rk_order, dt, dtype=jnp.float32):

@@ -217,17 +217,30 @@ class SEMOperators:
 
     def stiff_coeff(self, coeff):
         """Prepare a DG-0 stiffness coefficient for use inside jit: on the
-        lattice path pack the scale tensors now (host-side — packing cannot
-        happen on traced values once consts flow as jit arguments); otherwise
+        pallas fast path pack the per-axis F tensors, on the XLA lattice
+        path the mixed-rep scale tensors (host-side — packing cannot happen
+        on traced values once consts flow as jit arguments); otherwise
         return the device coefficient array."""
+        pk = self.pallas2
+        if pk is not None:
+            return self._pack_pallas(pk, coeff)
         if self.lattice is not None:
             return self.pack_scales(np.asarray(coeff, np.float64))
         return _as_cell_array(jnp.asarray(np.asarray(coeff)), self.num_cells, self.dtype)
 
+    def _pack_pallas(self, pk, coeff):
+        arr = np.asarray(coeff, np.float64)
+        if arr.ndim == 0:
+            return pk.pack_const(float(arr))
+        if arr.size == self.num_cells and np.ptp(arr) == 0:
+            return pk.pack_const(float(arr.reshape(-1)[0]))
+        return pk.pack_field(arr)
+
     def _is_packed(self, coeff) -> bool:
-        """Packed lattice scales are a tuple/list (per-axis); raw DG-0
-        coefficients are scalars or single arrays."""
-        return isinstance(coeff, (tuple, list))
+        """Packed lattice scales are a tuple/list (per-axis); packed pallas
+        coefficients are dicts of per-axis F tensors; raw DG-0 coefficients
+        are scalars or single arrays."""
+        return isinstance(coeff, (tuple, list, dict))
 
     def stiffness_apply(self, xs, coeffs) -> jnp.ndarray:
         """y = Σ_f K_{coeff_f}(x_f)  where K_c(u)·φ_i = ∫ c ∇u·∇φ_i dx.
@@ -238,24 +251,19 @@ class SEMOperators:
         ``spectral_op.hpp:173-243`` (sum-factorised) and
         ``precompute_op.hpp:294-486`` (dense tabulation).
         """
+        pk = self.pallas2
+        if pk is not None:
+            Fs = [
+                c if isinstance(c, dict) else self._pack_pallas(pk, c)
+                for c in coeffs
+            ]
+            y = pk.apply(xs, Fs).reshape(-1)
+            return self.complete(y)
         if self.lattice is not None:
             pairs = []
             for x, coeff in zip(xs, coeffs):
                 scales = coeff if self._is_packed(coeff) else self.pack_scales(coeff)
                 pairs.append((x.reshape(self.lattice.gdims), scales))
-            pk = self._pallas_kernel()
-            if pk is not None and all(
-                isinstance(s, (tuple, list)) and isinstance(s[0], tuple)
-                for _, s in pairs
-            ):
-                # all coefficients spatially constant ⇒ they commute globally:
-                # Σ_f K_{c_f}(x_f) = K_1(Σ_f c_f x_f), one fused pallas apply.
-                geo0 = self.lattice._geo[0]
-                z = None
-                for x, s in pairs:
-                    cf = s[0][0] / geo0  # rank-1 fac = coeff · geo_axis0
-                    z = cf * x if z is None else z + cf * x
-                return self.complete(pk.apply(z, 1.0).reshape(-1))
             y = self.lattice.apply_scaled(pairs).reshape(-1)
             return self.complete(y)
         z = self.gather_combine(xs, coeffs)
@@ -268,25 +276,39 @@ class SEMOperators:
             y = self._stiffness_cells(z)
         return self.scatter(y)
 
-    def _pallas_kernel(self):
-        """Fused Pallas stiffness (3D uniform lattice). OPT-IN via
-        FUS_PALLAS=1: it measures ~1.4× faster per apply than the XLA
-        lattice path (19.6 vs 27 ms at 57M DOF) and passes equivalence
-        tests, but long runs (~10^4 step scans) have crashed the axon TPU
-        worker — root cause unprofiled, so the default stays the XLA path."""
-        if not hasattr(self, "_pallas_obj"):
+    @property
+    def pallas2(self):
+        """Fused Pallas stiffness (3D uniform lattice), DEFAULT ON on TPU.
+
+        The round-1 opt-in gating ("long scans crashed the TPU worker") was
+        root-caused to this environment's relay, not the kernels: the axon
+        worker restarts after ~10 min of *cumulative device execution* with
+        pure-XLA programs as well (reproduced with both single long scans
+        and segmented launches); ``run_segmented`` bounds per-launch
+        execution, which is the correct mitigation regardless of kernel
+        path. Env overrides: FUS_PALLAS=0 disables; FUS_PALLAS=1 forces on
+        (interpret mode off-TPU, used by the equivalence tests)."""
+        if not hasattr(self, "_pallas2_obj"):
             import os
 
-            flag = os.environ.get("FUS_PALLAS", "")
-            enable = self.lattice is not None and self.d == 3 and flag == "1"
-            if enable:
-                from .pallas_stiffness import PallasLatticeStiffness
+            import jax as _jax
 
-                pk = PallasLatticeStiffness(self.lattice)
-                self._pallas_obj = pk if pk.usable() else None
+            flag = os.environ.get("FUS_PALLAS", "")
+            on_tpu = _jax.default_backend() == "tpu"
+            enable = (
+                self.lattice is not None
+                and self.d == 3
+                and flag != "0"
+                and (on_tpu or flag == "1")
+            )
+            if enable:
+                from .pallas_lattice import LatticePallasStiffness
+
+                pk = LatticePallasStiffness(self.lattice, interpret=not on_tpu)
+                self._pallas2_obj = pk if pk.usable() else None
             else:
-                self._pallas_obj = None
-        return self._pallas_obj
+                self._pallas2_obj = None
+        return self._pallas2_obj
 
     def stiffness_apply_generic(self, xs, coeffs) -> jnp.ndarray:
         """Force the gather→contract→segment-sum path (oracle for tests)."""

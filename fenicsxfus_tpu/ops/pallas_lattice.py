@@ -42,6 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.gll import diff_matrix, gll_points_weights_01
 
+# v5e has far more physical VMEM than the 16MB default scoped limit; the
+# [1, G1, G2]-block kernels need ~17-24MB at the 72.5M-DOF benchmark size.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _k1_matrix(p: int) -> np.ndarray:
     """Local 1D pre-contracted operator K1 = Dᵀ diag(w) D on the unit cell."""
@@ -347,6 +351,7 @@ class LatticePallasStiffness:
             ),
             out_shape=jax.ShapeDtypeStruct((G0, R), dtype),
             interpret=self.interpret,
+            compiler_params=None if self.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
 
         # ---- kernel B: axes 1+2 on [1, G1, G2] blocks, accumulate into yA
@@ -396,5 +401,6 @@ class LatticePallasStiffness:
             out_shape=jax.ShapeDtypeStruct(self.gdims, dtype),
             input_output_aliases={ya_idx: 0},
             interpret=self.interpret,
+            compiler_params=None if self.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
         return y

@@ -1,0 +1,459 @@
+"""Fully-fused explicit-RK stage kernels (Pallas, 3D lattice).
+
+Why: on this TPU, XLA-compiled elementwise HLO sustains only ~93 GB/s of
+HBM traffic while Pallas kernels reach ~380+ GB/s (measured; see
+``benchmarks/operator_timings_v5e.txt``). An RK stage is ~10 elementwise
+field passes around the stiffness apply, so leaving them to XLA costs more
+than the operator itself. These kernels absorb the entire slope evaluation
+(reference ``cpp/fenicsx-sf/common/Westervelt.hpp:216-281`` — stage shift,
+operator applies, boundary terms, mass divide) into the two stiffness
+kernels of ``pallas_lattice``:
+
+* the **stage shift** uses the algebraic structure of the reference's
+  a-vector RK tables (only the previous stage's slopes enter,
+  ``_linear.py:40-65``):
+
+      ku_i = vn_i = v0 + aᵢ·dt·kv_{i-1}
+      un_i = u0 + aᵢ·dt·ku_{i-1} = u0 + aᵢ·dt·v0 + aᵢa_{i-1}·dt²·kv_{i-2}
+
+  so the kernels read the *step* state (u0, v0, kv_{i-1}, kv_{i-2}) and
+  rebuild un/vn in VMEM instead of materialising them in HBM;
+* **kernel A** computes the axis-0 stiffness partial of the stage fields;
+* **kernel B** adds axes 1/2, then evaluates the model's kv in its
+  epilogue: source, ABC, (non)linear lumped-mass divide;
+* the **last stage's kernel B** also emits the step update directly:
+  u1 = u0 + dt(Σbᵢ)v0 + dt²Σᵢ bᵢaᵢ kv_{i-1},  v1 = v0 + dtΣᵢ bᵢ kv_i —
+  no separate AXPY passes at all (u0/v0 buffers are donated to u1/v1 so
+  the scan carry needs no copies).
+
+Supported model kinds (matching the reference solver family):
+``linear`` (``_linear.py:371-428``), ``lossy`` (``_lossy.py:107-189``),
+``westervelt`` (``_westervelt.py:108-234``, per-stage nonlinear mass).
+
+Single-device only: the slope epilogue consumes the *assembled* stiffness
+value, which on a partitioned mesh is incomplete at slab interfaces until
+the halo exchange — the sharded solver keeps the unfused path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# v5e has far more physical VMEM than the 16MB default scoped limit; the
+# [1, G1, G2]-block kernels need ~17-24MB at the 72.5M-DOF benchmark size.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+KIND_FIELDS = {"linear": 1, "lossy": 2, "westervelt": 2}
+# dense per-DOF extras read by the epilogue, in operand order
+KIND_DENSE = {
+    "linear": ("inv_m",),
+    "lossy": ("inv_m",),
+    "westervelt": ("m0", "d2"),
+}
+# facet (boundary-only) vectors: passed in the packed face representation
+# below — reading them as dense fields would cost 2-3 full HBM passes per
+# stage for data that lives on a measure-zero set
+KIND_FACET = {
+    "linear": ("src_vec", "abc_diag"),
+    "lossy": ("src_vec", "src_vec_d", "abc_diag"),
+    "westervelt": ("src_vec", "src_vec_d", "abc_diag"),
+}
+KIND_EXTRAS = {k: KIND_DENSE[k] + KIND_FACET[k] for k in KIND_FIELDS}
+
+
+def pack_facet_vector(vec, gdims):
+    """Decompose a facet vector (nonzero only on the 6 box faces) into
+    2 x-planes + y-row strips + z-column strips, additively exclusive:
+
+    * ``xp`` [2, G1, G2]  — the g0 = 0 / G0-1 planes (edges included);
+    * ``ye`` [G0, 2, G2]  — rows g1 = 0 / G1-1 per plane, x-faces zeroed;
+    * ``ze`` [G0, G1, 2]  — cols g2 = 0 / G2-1 per plane, x/y-faces zeroed.
+
+    Returns None if the vector has interior support (caller falls back to
+    the unfused path)."""
+    f = np.asarray(vec).reshape(gdims)
+    if f[1:-1, 1:-1, 1:-1].any():
+        return None
+    xp = np.stack([f[0], f[-1]])
+    ye = np.stack([f[:, 0, :], f[:, -1, :]], axis=1).copy()
+    ye[0] = 0
+    ye[-1] = 0
+    ze = np.stack([f[:, :, 0], f[:, :, -1]], axis=2).copy()
+    ze[0] = 0
+    ze[-1] = 0
+    ze[:, 0] = 0
+    ze[:, -1] = 0
+    return {"xp": xp, "ye": ye, "ze": ze}
+
+
+def _facet_corrections(fvals, coefs, vn, G0):
+    """Boundary contribution Σ_F coef_F·F at the current g0-block, as
+    (xplane [G1,G2], row0 [1,G2], rowL [1,G2], col0 [G1,1], colL [G1,1]).
+
+    ``fvals``: per facet field (xp [G1,G2] — plane 0 or G0-1 per the block
+    index map —, ye [2,G2], ze [G1,2]); ``coefs``: scalar per field, or the
+    string "abc" meaning coefficient −vn (pointwise)."""
+    pid = pl.program_id(0)
+    on_x = jnp.logical_or(pid == 0, pid == G0 - 1)
+    xmask = jnp.where(on_x, 1.0, 0.0).astype(vn.dtype)
+    G1 = vn.shape[0]
+    xplane = None
+    r0 = rL = c0 = cL = None
+
+    def acc(t, piece):
+        return piece if t is None else t + piece
+
+    for (xpv, yev, zev), coef in zip(fvals, coefs):
+        if isinstance(coef, str):  # "abc": pointwise coefficient −vn
+            xplane = acc(xplane, -(xpv * vn))
+            r0 = acc(r0, -(yev[0:1, :] * vn[0:1, :]))
+            rL = acc(rL, -(yev[1:2, :] * vn[G1 - 1 : G1, :]))
+            c0 = acc(c0, -(zev[:, 0:1] * vn[:, 0:1]))
+            cL = acc(cL, -(zev[:, 1:2] * vn[:, -1:]))
+        else:
+            xplane = acc(xplane, coef * xpv)
+            r0 = acc(r0, coef * yev[0:1, :])
+            rL = acc(rL, coef * yev[1:2, :])
+            c0 = acc(c0, coef * zev[:, 0:1])
+            cL = acc(cL, coef * zev[:, 1:2])
+    return xmask * xplane, r0, rL, c0, cL
+
+
+def _apply_corrections(b, corr):
+    """Add the facet corrections onto the dense stage vector ``b``."""
+    xplane, r0, rL, c0, cL = corr
+    b = b + xplane
+    b = jnp.concatenate([b[0:1, :] + r0, b[1:-1, :], b[-1:, :] + rL], axis=0)
+    b = jnp.concatenate([b[:, 0:1] + c0, b[:, 1:-1], b[:, -1:] + cL], axis=1)
+    return b
+
+
+def _epilogue(kind, acc, un, vn, dense, corr, g, dg):
+    """kv from the assembled stiffness ``acc``, the stage fields, and the
+    facet corrections — the reference's f1 tail (RHS boundary terms +
+    lumped-mass divide)."""
+    if kind == "westervelt":
+        m0, d2 = dense
+        b = _apply_corrections(d2 * (vn * vn) - acc, corr)
+        return b / (m0 - d2 * un)
+    (inv_m,) = dense
+    return _apply_corrections(-acc, corr) * inv_m
+
+
+class FusedRKStage:
+    """Builds the per-stage pallas calls for one model kind over one
+    ``LatticePallasStiffness`` plan."""
+
+    def __init__(self, pk, kind: str, hetero, tables, dtype):
+        assert kind in KIND_FIELDS
+        self.pk = pk
+        self.kind = kind
+        self.nf = KIND_FIELDS[kind]
+        self.hetero = tuple(hetero)
+        assert len(self.hetero) == self.nf
+        self.a_tab, self.b_tab, self.c_tab = tables
+        self.nstage = len(self.b_tab)
+        self.dtype = dtype
+
+    # ------------------------------------------------------------ helpers
+    # scal layout: [alpha, beta, g, dg] (+ final: [dtΣb, cu_0..cu_{n-2},
+    # db_0..db_{n-1}]); alpha = aᵢ·dt, beta = aᵢ·a_{i-1}·dt².
+
+    def _stage_fields(self, u0, v0, kvp, kvpp, alpha, beta):
+        un = u0 + alpha * v0
+        if kvpp is not None:
+            un = un + beta * kvpp
+        vn = v0 + alpha * kvp if kvp is not None else v0
+        return un, vn
+
+    # ------------------------------------------------------------ kernel A
+
+    def _kernel_A(self, has_kvp, has_kvpp):
+        pk = self.pk
+        plan = pk.plans[0]
+        prec = pk._prec()
+        bk_keys, _ = pk._bk_ops
+        nbk = len(bk_keys)
+        nf = self.nf
+
+        def kernel(*refs):
+            i = 0
+            u0 = refs[i][:, :]; i += 1
+            v0 = refs[i][:, :]; i += 1
+            kvp = kvpp = None
+            if has_kvp:
+                kvp = refs[i][:, :]; i += 1
+            if has_kvpp:
+                kvpp = refs[i][:, :]; i += 1
+            scal = refs[i]; i += 1
+            Fs = [refs[i + f][:, :] for f in range(nf)]; i += nf
+            bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
+            out_ref = refs[-1]
+            un, vn = self._stage_fields(
+                u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
+            )
+            fields = (un,) if nf == 1 else (un, vn)
+            acc = None
+            for f in range(nf):
+                y = pk._axis_chunk_apply(
+                    fields[f], plan, bks, Fs[f], self.hetero[f], prec, False
+                )
+                acc = y if acc is None else acc + y
+            out_ref[:, :] = acc
+
+        return kernel
+
+    def call_A(self, u0, v0, kvp, kvpp, scal, Fs):
+        pk = self.pk
+        G0, G1, G2 = pk.gdims
+        R = G1 * G2
+        TC = min(pk.tile_cols, R)
+        # kernel A only needs kvp for the vn field (2-field kinds)
+        if self.nf == 1:
+            kvp = None
+        vec = pl.BlockSpec((G0, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+        args, specs = [], []
+        for x in (u0, v0) + tuple(
+            z for z in (kvp, kvpp) if z is not None
+        ):
+            args.append(x.reshape(G0, R))
+            specs.append(vec)
+        args.append(scal)
+        specs.append(
+            pl.BlockSpec((1, scal.shape[1]), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        for f in range(self.nf):
+            nF = Fs[f]["F0"].shape[0]
+            args.append(Fs[f]["F0"])
+            specs.append(
+                pl.BlockSpec((nF, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+            )
+        for bk in pk._bk_ops[1]:
+            args.append(bk)
+            specs.append(
+                pl.BlockSpec(bk.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        return pl.pallas_call(
+            self._kernel_A(kvp is not None, kvpp is not None),
+            grid=((R + TC - 1) // TC,),
+            in_specs=specs,
+            out_specs=vec,
+            out_shape=jax.ShapeDtypeStruct((G0, R), self.dtype),
+            interpret=pk.interpret,
+            compiler_params=None if pk.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        )(*args)
+
+    # ------------------------------------------------------------ kernel B
+
+    def _kernel_B(self, has_kvp, has_kvpp, final, n_prev):
+        pk = self.pk
+        plan1, plan2 = pk.plans[1], pk.plans[2]
+        prec = pk._prec()
+        bk_keys, _ = pk._bk_ops
+        nbk = len(bk_keys)
+        nf = self.nf
+        nde = len(KIND_DENSE[self.kind])
+        nfa = len(KIND_FACET[self.kind])
+        kind = self.kind
+        G0 = pk.gdims[0]
+
+        def kernel(*refs):
+            i = 0
+            u0 = refs[i][0, :, :]; i += 1
+            v0 = refs[i][0, :, :]; i += 1
+            kvp = kvpp = None
+            if has_kvp:
+                kvp = refs[i][0, :, :]; i += 1
+            if has_kvpp:
+                kvpp = refs[i][0, :, :]; i += 1
+            prev = [refs[i + j][0, :, :] for j in range(n_prev)]; i += n_prev
+            yA = refs[i][0, :, :]; i += 1
+            scal = refs[i]; i += 1
+            F1s = [refs[i + f][0, :, :] for f in range(nf)]; i += nf
+            F2s = [refs[i + f][0, :, :] for f in range(nf)]; i += nf
+            bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
+            dense = [refs[i + j][0, :, :] for j in range(nde)]; i += nde
+            fvals = []
+            for _j in range(nfa):
+                fvals.append(
+                    (refs[i][0, :, :], refs[i + 1][0, :, :], refs[i + 2][0, :, :])
+                )
+                i += 3
+            g, dg = scal[0, 2], scal[0, 3]
+            un, vn = self._stage_fields(
+                u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
+            )
+            fields = (un,) if nf == 1 else (un, vn)
+            acc = yA
+            y2t = None
+            for f in range(nf):
+                acc = acc + pk._axis_chunk_apply(
+                    fields[f], plan1, bks, F1s[f], self.hetero[f], prec, False
+                )
+                y2 = pk._axis_chunk_apply(
+                    fields[f], plan2, bks, F2s[f], self.hetero[f], prec, True
+                )
+                y2t = y2 if y2t is None else y2t + y2
+            acc = acc + y2t.T
+            coefs = [g, "abc"] if nfa == 2 else [g, dg, "abc"]
+            corr = _facet_corrections(fvals, coefs, vn, G0)
+            kv = _epilogue(kind, acc, un, vn, dense, corr, g, dg)
+            if not final:
+                refs[-1][0, :, :] = kv
+                return
+            # step update (scal layout: see make_step); slopes in stage order
+            kvs = (
+                prev
+                + ([kvpp] if kvpp is not None else [])
+                + ([kvp] if kvp is not None else [])
+                + [kv]
+            )
+            ns = len(kvs)
+            u1 = u0 + scal[0, 4] * v0
+            for j in range(ns - 1):
+                u1 = u1 + scal[0, 5 + j] * kvs[j]
+            v1 = v0
+            for i_s in range(ns):
+                v1 = v1 + scal[0, 5 + (ns - 1) + i_s] * kvs[i_s]
+            refs[-2][0, :, :] = u1
+            refs[-1][0, :, :] = v1
+
+        return kernel
+
+    def call_B(self, u0, v0, kvp, kvpp, prev_kvs, yA, scal, Fs, extras, final):
+        pk = self.pk
+        G0, G1, G2 = pk.gdims
+        blk = pl.BlockSpec((1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        gd = pk.gdims
+        args, specs = [], []
+        for x in (u0, v0) + tuple(
+            z for z in (kvp, kvpp) if z is not None
+        ) + tuple(prev_kvs):
+            args.append(x.reshape(gd))
+            specs.append(blk)
+        args.append(yA.reshape(gd))
+        specs.append(blk)
+        args.append(scal)
+        specs.append(
+            pl.BlockSpec((1, scal.shape[1]), lambda b: (0, 0), memory_space=pltpu.SMEM)
+        )
+        for f in range(self.nf):
+            n1 = Fs[f]["F1"].shape[1]
+            args.append(Fs[f]["F1"])
+            specs.append(
+                pl.BlockSpec((1, n1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
+        for f in range(self.nf):
+            n2 = Fs[f]["F2"].shape[1]
+            args.append(Fs[f]["F2"])
+            specs.append(
+                pl.BlockSpec((1, n2, G1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
+        for bk in pk._bk_ops[1]:
+            args.append(bk)
+            specs.append(
+                pl.BlockSpec(bk.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+            )
+        dense, facets = extras
+        for e in dense:
+            args.append(e.reshape(gd))
+            specs.append(blk)
+        for fp in facets:
+            # xp: plane 0 for all interior blocks (its DMA is elided while
+            # the block index is unchanged), plane 1 at the last block; the
+            # kernel masks it off away from the x-faces.
+            args.append(fp["xp"])
+            specs.append(
+                pl.BlockSpec(
+                    (1, G1, G2),
+                    lambda b: (b // (G0 - 1), 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(fp["ye"])
+            specs.append(
+                pl.BlockSpec((1, 2, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(fp["ze"])
+            specs.append(
+                pl.BlockSpec((1, G1, 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
+        if final:
+            out_shape = (
+                jax.ShapeDtypeStruct(gd, self.dtype),
+                jax.ShapeDtypeStruct(gd, self.dtype),
+            )
+            out_specs = (blk, blk)
+            # donate u0/v0 into u1/v1: avoids scan-carry copies
+            aliases = {0: 0, 1: 1}
+        else:
+            out_shape = jax.ShapeDtypeStruct(gd, self.dtype)
+            out_specs = blk
+            aliases = {}
+        return pl.pallas_call(
+            self._kernel_B(kvp is not None, kvpp is not None, final, len(prev_kvs)),
+            grid=(G0,),
+            in_specs=specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=pk.interpret,
+            compiler_params=None if pk.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        )(*args)
+
+    # -------------------------------------------------------------- step
+
+    def make_step(self, consts_to_Fs, consts_to_extras, source_fn):
+        """Step function (consts, (u, v, t), dt) -> ((u, v, t+dt), None).
+
+        ``consts_to_Fs(consts)``: per-field packed F dicts;
+        ``consts_to_extras(consts)``: (dense KIND_DENSE vectors,
+        packed-facet KIND_FACET dicts);
+        ``source_fn(consts, t) -> (g, dg)``.
+        """
+        a_t, b_t, c_t = self.a_tab, self.b_tab, self.c_tab
+        n = self.nstage
+        dtype = self.dtype
+
+        def step(consts, carry, dtn):
+            u0, v0, t = carry
+            Fs = consts_to_Fs(consts)
+            extras = consts_to_extras(consts)
+            kvs = []
+            out = None
+            for i in range(n):
+                kvp = kvs[i - 1] if i >= 1 else None
+                kvpp = kvs[i - 2] if i >= 2 else None
+                alpha = a_t[i] * dtn
+                beta = (a_t[i] * a_t[i - 1] if i >= 1 else 0.0) * dtn * dtn
+                g, dg = source_fn(consts, t + c_t[i] * dtn)
+                final = i == n - 1
+                if final:
+                    cu = [b_t[j + 1] * a_t[j + 1] * dtn * dtn for j in range(n - 1)]
+                    db = [b_t[j] * dtn for j in range(n)]
+                    parts = [alpha, beta, g, dg, float(np.sum(b_t)) * dtn] + cu + db
+                else:
+                    parts = [alpha, beta, g, dg]
+                scal = jnp.stack(
+                    [jnp.asarray(pp, dtype) for pp in parts]
+                ).reshape(1, -1)
+                yA = self.call_A(u0, v0, kvp, kvpp, scal, Fs)
+                if final:
+                    u1, v1 = self.call_B(
+                        u0, v0, kvp, kvpp, kvs[: max(0, i - 2)],
+                        yA, scal, Fs, extras, final=True,
+                    )
+                    out = (u1.reshape(-1), v1.reshape(-1), t + dtn)
+                else:
+                    kv = self.call_B(
+                        u0, v0, kvp, kvpp, [], yA, scal, Fs, extras, final=False
+                    )
+                    kvs.append(kv)
+            return out, None
+
+        return step

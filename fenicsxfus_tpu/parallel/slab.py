@@ -173,12 +173,24 @@ class SlabDecomposition:
         return out
 
     def _pack_stiff_coeff(self, coeff, global_ncells: int):
-        """Per-device lattice scale tensors, stacked [ndev, ...] and sharded.
-        The fold is over *local* cells only — the halo exchange completes the
-        interface-plane sums at run time."""
+        """Per-device packed stiffness coefficients, stacked [ndev, ...] and
+        sharded. The fold is over *local* cells only — the halo exchange
+        completes the interface-plane sums at run time. Packs whichever
+        format the local operators route to (pallas F dicts on TPU, XLA
+        mixed-rep scale tensors otherwise)."""
         arr = np.asarray(coeff, np.float64).reshape(-1)
         assert arr.size == global_ncells
         per_dev = arr.reshape(self.ndev, self.cells_per_dev)
+        pk = self.ops.pallas2
+        if pk is not None:
+            packed = [pk.pack_field(per_dev[d]) for d in range(self.ndev)]
+            return {
+                k: jax.device_put(
+                    jnp.stack([packed[d][k] for d in range(self.ndev)]),
+                    self.sharding,
+                )
+                for k in packed[0]
+            }
         packed = [self.ops.lattice.scales_field(per_dev[d]) for d in range(self.ndev)]
         stacked = tuple(
             jax.device_put(
