@@ -70,6 +70,49 @@ def mendousse(x, t, c0, f0, p0, rho0, beta, delta, nterms=30):
     return p0 * (4.0 / gamma) * num / den
 
 
+def piston_axial_amplitude(z, a, k, p0):
+    """Steady-state axial pressure amplitude of a baffled circular piston
+    (radius ``a``, wavenumber ``k``, plane-wave drive amplitude ``p0``):
+
+        |p(z)| = 2 p0 |sin(k(sqrt(z^2 + a^2) - z)/2)|
+
+    Oracle for the PH1 SC1 benchmarks (Aubry et al. 2022, planar 20 mm
+    source; reference driver ``cpp/fenicsx-sf-naive/benchmarks/PH1/
+    SC1-BM1/main.cpp:32-45``)."""
+    z = np.asarray(z, np.float64)
+    return 2.0 * p0 * np.abs(np.sin(0.5 * k * (np.sqrt(z * z + a * a) - z)))
+
+
+def oneil_axial_amplitude(z, a, roc, k, p0):
+    """O'Neil (1949) axial pressure amplitude of a focused spherical-cap
+    radiator: half-aperture ``a``, radius of curvature ``roc`` (geometric
+    focus at z = roc), uniform normal velocity with plane-wave amplitude
+    ``p0`` = rho c u0:
+
+        |p(z)| = 2 p0 |sin(k (r_e(z) - z)/2)| / |1 - z/roc|,
+        r_e(z) = sqrt((z - h)^2 + a^2),   h = roc - sqrt(roc^2 - a^2)
+
+    (distance from the bowl rim to the axial point). The removable
+    singularity at the focus evaluates to p0 k a^2/(2 h ... ) via the limit;
+    here the quotient is formed with a small-denominator guard. Oracle for
+    PH1 SC2 / HITU bowl sources (reference ``cpp/fenicsx-sf-fastor/
+    benchmarks/HITU/W-H101-WATER/main.cpp:1-5``, Groth et al. 2021)."""
+    z = np.asarray(z, np.float64)
+    h = roc - np.sqrt(roc * roc - a * a)
+    r_e = np.sqrt((z - h) ** 2 + a * a)
+    phase = 0.5 * k * (r_e - z)
+    denom = 1.0 - z / roc
+    small = np.abs(denom) < 1e-9
+    denom = np.where(small, 1.0, denom)
+    amp = 2.0 * p0 * np.abs(np.sin(phase)) / np.abs(denom)
+    # limit z -> roc: 2 sin(k(r_e - z)/2)/(1 - z/roc) -> k roc (1 - (roc-h)/r_e(roc))·...
+    if np.any(small):
+        eps = 1e-6 * roc
+        amp_lim = oneil_axial_amplitude(roc - eps, a, roc, k, p0)
+        amp = np.where(small, amp_lim, amp)
+    return amp
+
+
 class SoundHardExact2D:
     """Scattering of a plane wave by a sound-hard circular cylinder
     (Neumann), Bessel/Hankel partial-wave series; total field is zero inside

@@ -52,6 +52,12 @@ class Mesh:
         """Coordinates of each cell's vertices: [Nc, 2**dim, dim]."""
         return self.vertices[self.cells]
 
+    def cell_midpoints(self) -> np.ndarray:
+        """Cell midpoints [Nc, dim] — used to classify cells into DG-0
+        material regions (the TPU-native replacement for the reference's
+        pre-tagged meshes, e.g. ``PH1/SC1-BM4/main.cpp:120-160``)."""
+        return self.cell_vertices().mean(axis=1)
+
     def h_min(self) -> float:
         """Minimum edge length over all cells (used for the CFL timestep,
         cf. reference ``cpp/.../W-H131-WATER/main.cpp:75-77``)."""

@@ -97,12 +97,15 @@ class ExplicitModelBase(SpectralModelBase):
         self.consts: dict = {}
         self._solve = None  # built lazily after subclass setup
 
-    def _build(self):
-        ops = self.ops
-        fused = self._try_build_fused()
+    def _make_step(self):
+        """The per-step function: the fused pallas stage when available,
+        else the reference a-vector RK step over ``rhs_pure``."""
+        from .common import make_rk_step
+
+        fused = self._try_fused_step()
         if fused is not None:
-            self._solve = fused
-            return
+            return fused
+        ops = self.ops
         if hasattr(type(self), "rhs_pure"):
             rhs_pure = type(self).rhs_pure
             rhs = lambda consts, t, u, v: rhs_pure(ops, consts, t, u, v)  # noqa: E731
@@ -111,9 +114,21 @@ class ExplicitModelBase(SpectralModelBase):
             # LinearExplicit): consts stay closed over — acceptable at the
             # small scales these are used at
             rhs = lambda consts, t, u, v: self.rhs(t, u, v)  # noqa: E731
-        self._solve = make_rk_scan(rhs, self.rk_order, self.dtype)
+        return make_rk_step(rhs, self.rk_order)
+
+    def _build(self):
+        from .common import make_scan_from_step
+
+        self._solve = make_scan_from_step(self._make_step(), self.dtype)
 
     def _try_build_fused(self):
+        """Fused solve, or None (kept for tests/introspection)."""
+        from .common import make_scan_from_step
+
+        step = self._try_fused_step()
+        return None if step is None else make_scan_from_step(step, self.dtype)
+
+    def _try_fused_step(self):
         """Fully-fused Pallas RK stage (see ``ops/pallas_stage.py``): used
         when the model declares ``FUSED_KIND`` on its own class, the pallas
         lattice path is active, and all required consts are packed.
@@ -157,7 +172,7 @@ class ExplicitModelBase(SpectralModelBase):
         stage = FusedRKStage(
             pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
         )
-        step = stage.make_step(
+        return stage.make_step(
             lambda c: [c[k] for k in keys],
             lambda c: (
                 [c[k] for k in dense_keys],
@@ -165,7 +180,6 @@ class ExplicitModelBase(SpectralModelBase):
             ),
             source_amplitudes,
         )
-        return make_scan_from_step(step, self.dtype)
 
     def rhs(self, t, u, v):
         return type(self).rhs_pure(self.ops, self.consts, t, u, v)
@@ -182,6 +196,39 @@ class ExplicitModelBase(SpectralModelBase):
         u, v, t = self._solve(self.consts, self.u_n, self.v_n, t0, tf, self.dt)
         self.u_n, self.v_n, self.t = u, v, float(t)
         return self.u_n, self.v_n, self.t
+
+    # -- in-scan sensor recording ------------------------------------------
+
+    def sensor_indices(self, points) -> np.ndarray:
+        """Nearest-DOF indices for sensor ``points`` [dim, n]. On the
+        structured meshes used by the benchmark drivers the sensors are
+        placed on lattice nodes, so this is exact; the snap distance is
+        available for callers that need to check."""
+        pts = np.asarray(points, np.float64)
+        coords = self.ops.dof_coords()  # [ndofs, dim]
+        idx = np.empty(pts.shape[1], np.int64)
+        for j in range(pts.shape[1]):
+            d2 = np.sum((coords - pts[:, j][None, :]) ** 2, axis=1)
+            idx[j] = int(np.argmin(d2))
+        return idx
+
+    def rk_record(self, t0: float, tf: float, points):
+        """Time-march like ``rk`` while recording u(t) at sensor ``points``
+        every step, device-side inside the scan (reference workflow records
+        nothing in-run and evaluates only the final state; sensor *time
+        series* are what PH1/MENDOUSSE actually analyse). Returns
+        (u, v, t, times [n_steps], ys [n_steps, n_sensors])."""
+        from .common import make_recording_scan, step_sizes
+
+        idx = self.sensor_indices(points)
+        solve = make_recording_scan(self._make_step(), self.dtype)
+        u, v, t, ys = solve(
+            self.consts, self.u_n, self.v_n, t0, tf, self.dt, idx
+        )
+        dts = step_sizes(t0, tf, self.dt)
+        times = t0 + np.cumsum(dts)
+        self.u_n, self.v_n, self.t = u, v, float(t)
+        return u, v, float(t), times, ys
 
 
 class ImplicitModelBase(SpectralModelBase):

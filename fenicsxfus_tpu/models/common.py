@@ -125,9 +125,37 @@ def make_scan_from_step(step, dtype):
     return solve
 
 
-def make_rk_scan(rhs, order: int, dtype):
-    """Build a jitted explicit-RK time loop
-    ``solve(consts, u, v, t0, tf, dt) -> (u, v, t)``.
+def make_recording_scan(step, dtype):
+    """Like ``make_scan_from_step`` but records point-sensor time series
+    *inside* the scan (device-side, no per-step host round trips — the
+    reference extracts sensors only after the run,
+    ``python/benchmarks/MENDOUSSE/mendousse.py`` tail):
+    ``solve(consts, u, v, t0, tf, dt, sensor_idx) -> (u, v, t, ys)`` with
+    ``ys`` of shape [n_steps, n_sensors] sampling u after every full step."""
+
+    @jax.jit
+    def run(consts, u, v, t0, dts, idx):
+        def body(carry, dtn):
+            out, _ = step(consts, carry, dtn)
+            return out, out[0].reshape(-1)[idx]
+
+        (u, v, t), ys = jax.lax.scan(body, (u, v, t0), dts)
+        return u, v, t, ys
+
+    def solve(consts, u, v, t0, tf, dt, sensor_idx):
+        idx = jnp.asarray(np.asarray(sensor_idx, np.int32))
+        dts = np.asarray(step_sizes(t0, tf, dt))
+        return run_segmented(
+            lambda c, uu, vv, tt, seg: run(c, uu, vv, tt, seg, idx),
+            consts, u, v, t0, dts, dtype, collect_ys=True,
+        )
+
+    return solve
+
+
+def make_rk_step(rhs, order: int):
+    """Reference explicit-RK step (a-vector tables):
+    ``step(consts, (u, v, t), dt) -> ((u, v, t+dt), None)``.
 
     ``rhs(consts, t, u, v) -> (ku, kv)`` is the model's slope function with
     its device data passed as the ``consts`` pytree. Consts are jit
@@ -151,10 +179,16 @@ def make_rk_scan(rhs, order: int, dtype):
             v_acc = v_acc + (b[i] * dtn) * kv
         return (u_acc, v_acc, t + dtn), None
 
-    return make_scan_from_step(step, dtype)
+    return step
 
 
-def run_segmented(run, consts, u, v, t0, dts, dtype):
+def make_rk_scan(rhs, order: int, dtype):
+    """``solve(consts, u, v, t0, tf, dt) -> (u, v, t)`` for ``rhs`` —
+    see ``make_rk_step``."""
+    return make_scan_from_step(make_rk_step(rhs, order), dtype)
+
+
+def run_segmented(run, consts, u, v, t0, dts, dtype, collect_ys=False):
     """Execute a step loop in bounded launches.
 
     Very long single scans (≳5000 steps / many minutes of continuous
@@ -162,17 +196,28 @@ def run_segmented(run, consts, u, v, t0, dts, dtype):
     restarted"); splitting into fixed-size segments keeps each program
     execution short. Segment size is fixed so at most two programs compile
     (the main size and one remainder); a scalar sync between segments
-    bounds the dispatch queue. Tunable via FUS_MAX_STEPS_PER_LAUNCH."""
+    bounds the dispatch queue. Tunable via FUS_MAX_STEPS_PER_LAUNCH.
+
+    With ``collect_ys`` the runner returns a fourth output (per-step scan
+    outputs, concatenated across segments on host)."""
     import os
 
     K = int(os.environ.get("FUS_MAX_STEPS_PER_LAUNCH", "500"))
     t = jnp.asarray(t0, dtype)
     i = 0
     n = len(dts)
+    ys_parts = []
     while i < n:
         seg = jnp.asarray(dts[i : i + K], dtype)
-        u, v, t = run(consts, u, v, t, seg)
+        out = run(consts, u, v, t, seg)
+        if collect_ys:
+            u, v, t, ys = out
+            ys_parts.append(np.asarray(ys))
+        else:
+            u, v, t = out
         i += K
         if i < n:
             _ = float(t)  # sync: keep each launch's execution bounded
+    if collect_ys:
+        return u, v, t, np.concatenate(ys_parts, axis=0)
     return u, v, t

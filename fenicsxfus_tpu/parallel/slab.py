@@ -267,6 +267,9 @@ class ShardedExplicitSolver:
             mesh=dec.jmesh,
             in_specs=(spec_consts, P(AXIS), P(AXIS), P(), P()),
             out_specs=(P(AXIS), P(AXIS), P()),
+            # pallas_call outputs carry no varying-mesh-axes annotation;
+            # strict vma checking would reject the fused kernels on TPU
+            check_vma=False,
         )
         self._run = jax.jit(shmapped)
 
