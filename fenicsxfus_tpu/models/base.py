@@ -280,6 +280,8 @@ class ImplicitModelBase(SpectralModelBase):
             dinv = 1.0 / cls.lhs_diag_pure(ops, consts, tau)
             kus, kvs = [], []
             u_acc, v_acc = u0, v0
+            it_max = jnp.zeros((), jnp.int32)
+            res_max = jnp.zeros((), v0.dtype)
             for i in range(n):
                 un, vn = u0, v0
                 for j in range(i):
@@ -288,34 +290,53 @@ class ImplicitModelBase(SpectralModelBase):
                 tn = t + c_tab[i] * dtn
                 b = cls.rhs_stage(ops, consts, tau, tn, un, vn)
                 x0 = kvs[-1] if kvs else jnp.zeros_like(v0)
-                kv, _ = cg_solve(
+                kv, (it, res2) = cg_solve(
                     lambda x: cls.lhs_pure(ops, consts, tau, x), b, x0, dinv,
                     rtol=rtol, maxiter=maxiter,
                 )
+                it_max = jnp.maximum(it_max, it)
+                res_max = jnp.maximum(res_max, res2.astype(v0.dtype))
                 ku = vn + tau * kv
                 kus.append(ku)
                 kvs.append(kv)
                 u_acc = u_acc + (b_tab[i] * dtn) * ku
                 v_acc = v_acc + (b_tab[i] * dtn) * kv
-            return (u_acc, v_acc, t + dtn), None
+            stats = jnp.stack([it_max.astype(v0.dtype), res_max])
+            return (u_acc, v_acc, t + dtn), stats
 
         @jax.jit
         def run(consts, u, v, t0v, dts):
-            (u, v, t), _ = jax.lax.scan(
+            (u, v, t), stats = jax.lax.scan(
                 lambda carry, dtn: step(consts, carry, dtn), (u, v, t0v), dts
             )
-            return u, v, t
+            return u, v, t, stats
 
         return run
 
     def dirk(self, t0: float, tf: float):
+        """Time-march with SDIRK; surfaces worst-case CG iterations/residual
+        over the run as ``self.cg_stats`` (the PETSc-KSP-convergence analogue
+        the round-1 driver silently dropped) and warns if any stage solve hit
+        ``cg_maxiter``."""
+        import warnings
+
         from .common import run_segmented
 
         if self._run is None:
             self._run = self._build_run()
         dts = np.asarray(step_sizes(t0, tf, self.dt))
-        u, v, t = run_segmented(
-            self._run, self.consts, self.u_n, self.v_n, t0, dts, self.dtype
+        u, v, t, stats = run_segmented(
+            self._run, self.consts, self.u_n, self.v_n, t0, dts, self.dtype,
+            collect_ys=True,
         )
+        it_max = int(np.max(stats[:, 0]))
+        res_max = float(np.max(stats[:, 1]))
+        self.cg_stats = {"max_iterations": it_max, "max_residual2": res_max}
+        if it_max >= self.cg_maxiter:
+            warnings.warn(
+                f"DIRK stage CG hit maxiter={self.cg_maxiter} "
+                f"(worst final ||r||^2 = {res_max:.3e}) — solution suspect",
+                stacklevel=2,
+            )
         self.u_n, self.v_n, self.t = u, v, float(t)
         return self.u_n, self.v_n, self.t

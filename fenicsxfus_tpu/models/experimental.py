@@ -87,9 +87,10 @@ class LinearSpectralS2(ExplicitModelBase):
         self.consts["inv_m"] = 1.0 / ops.assemble_diag(1.0 / (rho * c * c))
         self.raw_stiff = {"coeff_u": 1.0 / rho}
         self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)
-        # ∫_Γ1 (1/ρ) s(x) φ ds — profile folded into the facet vector
+        # ∫_Γ1 (1/ρ) s(x) φ ds — profile folded into the facet vector with
+        # the per-cell 1/ρ (NOT a scalar mean; the medium may vary there)
         self.consts["src_vec"] = ops.facet_vector_nodal(
-            self.SOURCE_TAG, prof_nodal / float(np.mean(rho))
+            self.SOURCE_TAG, prof_nodal, cell_coeff=1.0 / rho
         )
         self.consts["abc_diag"] = ops.facet_vector(self.ABC_TAG, 1.0 / (rho * c))
         self._build()
@@ -197,6 +198,9 @@ class LinearSpectralSponge(ExplicitModelBase):
     waves in the pad region. Note the reference's alternative scaling
     (mass 1/ρ, stiffness c²/ρ)."""
 
+    STIFF_KEYS = ("coeff_u",)
+    NODAL_STIFF_KEYS = ("delta_scales",)
+
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
                  sponge_start: float = 0.12, delta_profile=None,
                  dtype=jnp.float32):
@@ -221,6 +225,7 @@ class LinearSpectralSponge(ExplicitModelBase):
         self.consts["inv_m"] = 1.0 / m
         self.raw_stiff = {"coeff_u": np.full(nc, c0 * c0 / rho0)}
         self.consts["coeff_u"] = ops.stiff_coeff(np.full(nc, c0 * c0 / rho0))
+        self.raw_nodal = {"delta_scales": delta / rho0}
         self.consts["delta_scales"] = ops.pack_scales_nodal(delta / rho0)
         self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, c0 * c0 / rho0)
         self.consts["src_vec_d"] = ops.facet_vector_nodal(

@@ -105,6 +105,9 @@ class LinearSpectralExplicit(ExplicitModelBase):
 class LinearSpectralImplicit(ImplicitModelBase):
     """SDIRK linear wave solver (reference ``_linear.py:516-817``)."""
 
+    STIFF_KEYS = ("coeff_u",)
+    PAD_ONE_KEYS = ("m",)  # inverted inside the solver — padding must stay finite
+
     def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float64, cg_rtol=1e-8, cg_maxiter=2000):
         super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt,

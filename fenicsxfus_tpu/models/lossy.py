@@ -69,6 +69,9 @@ class LossySpectralExplicit(ExplicitModelBase):
 class LossySpectralImplicit(ImplicitModelBase):
     """SDIRK lossy solver (reference ``_lossy.py:297-628``)."""
 
+    STIFF_KEYS = ("coeff_u", "coeff_v")
+    PAD_ONE_KEYS = ("m",)
+
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float64, cg_rtol=1e-8, cg_maxiter=2000):
         super().__init__(mesh, meshtags, degree, freq0, p0, s0, rk_order, dt,

@@ -23,6 +23,8 @@ class WesterveltSpectralExplicit(ExplicitModelBase):
 
     STIFF_KEYS = ("coeff_u", "coeff_v")
     FUSED_KIND = "westervelt"
+    # sharded uneven partitions divide by m = m0 − d2∘u on padding rows too
+    PAD_ONE_KEYS = ("m0",)
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, beta0, freq0,
                  p0, s0, rk_order, dt, dtype=jnp.float32):

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 def cg_solve(A, b, x0, diag_inv, rtol=1e-8, atol=0.0, maxiter=1000, dot=None):
     """Solve A x = b with PCG; ``A`` is a linear callable, ``diag_inv`` the
     inverse diagonal (Jacobi), ``dot`` an optional inner product (used by the
-    sharded path to weight interface DOFs)."""
+    sharded path to weight replicated interface DOFs).
+
+    Returns ``(x, (iterations, final ‖r‖²))`` — the convergence information
+    the reference gets from PETSc KSP (``_linear.py:644-647``); the DIRK
+    drivers surface it per segment so a silently maxiter-capped solve inside
+    a ``lax.scan`` cannot pass for converged physics."""
     if dot is None:
         dot = lambda a, c: jnp.vdot(a, c)
 
@@ -43,4 +48,4 @@ def cg_solve(A, b, x0, diag_inv, rtol=1e-8, atol=0.0, maxiter=1000, dot=None):
         return x, r, p, rz_new, it + 1
 
     x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
-    return x, it
+    return x, (it, dot(r, r))

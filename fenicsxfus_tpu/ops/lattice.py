@@ -145,11 +145,12 @@ class LatticeStiffness:
             out.append(jnp.asarray(self._geo[a] * t, self.dtype))
         return out
 
-    def _fold_weighted(self, t: np.ndarray, axis: int) -> np.ndarray:
+    def _fold_weighted(self, t: np.ndarray, axis: int, w=None) -> np.ndarray:
         """Cell-axis → weighted global lattice fold along ``axis``:
-        out[g] = Σ_{cells c ∋ g} w_{local(g,c)} · t[c]."""
+        out[g] = Σ_{cells c ∋ g} w_{local(g,c)} · t[c].  ``w`` defaults to the
+        1D GLL weights; ``stiffness_diag`` passes Σ_q w_q D[q,·]² instead."""
         n, p, N = self.grid[axis], self.p, self.N
-        w = self._w1.astype(t.dtype)
+        w = (self._w1 if w is None else np.asarray(w)).astype(t.dtype)
         tm = np.moveaxis(t, axis, 0)  # [n, ...]
         G = n * p + 1
         out = np.zeros((G,) + tm.shape[1:], t.dtype)
@@ -211,6 +212,28 @@ class LatticeStiffness:
         for a in range(self.d):
             t = self._fold_weighted(t, a)
         return t.reshape(-1)
+
+    def stiffness_diag(self, coeff_cells) -> np.ndarray:
+        """Assembled stiffness diagonal on the lattice (host, numpy):
+        per cell diag(K)_((i,j,k)) = Σ_a geo_a · d2[i_a] · Π_{b≠a} w_{i_b}
+        with d2[n] = Σ_q w_q D[q,n]² (axis-aligned ⇒ no off-diagonal G).
+        Index-free analogue of ``SEMOperators.stiffness_diag``'s per-cell
+        assembly — O(ndofs) memory instead of O(Nc·N^d), which makes the
+        implicit (DIRK/Newmark) setup viable at 10⁷+ DOF."""
+        npdt = np.float32 if np.dtype(self.dtype) == np.float32 else np.float64
+        arr = np.asarray(coeff_cells, npdt)
+        if arr.ndim == 0:
+            arr = np.full(self.grid, arr, npdt)
+        arr = arr.reshape(self.grid)
+        D = diff_matrix(self.N)
+        d2 = (self._w1[:, None] * D**2).sum(axis=0)  # [N]
+        out = np.zeros(self.gdims, npdt)
+        for a in range(self.d):
+            t = arr * npdt(self._geo[a])
+            for b in range(self.d):
+                t = self._fold_weighted(t, b, w=(d2 if b == a else None))
+            out += t
+        return out.reshape(-1)
 
     # -------------------------------------------------------------- apply
     #

@@ -373,7 +373,12 @@ class SEMOperators:
     def stiffness_diag(self, cell_coeff) -> jnp.ndarray:
         """Assembled diagonal of the stiffness matrix (Jacobi preconditioner
         for the implicit DIRK path; reference uses PETSc PC Jacobi,
-        ``_linear.py:644-647``)."""
+        ``_linear.py:644-647``). On the lattice path this is a streamed
+        index-free host fold (O(ndofs) memory — the round-1 version
+        materialized [Nc, N^d], a wall at 10⁷+ DOF)."""
+        if self.lattice is not None and not isinstance(cell_coeff, jax.core.Tracer):
+            kd = self.lattice.stiffness_diag(np.asarray(cell_coeff))
+            return jnp.asarray(kd, self.dtype)
         d, N = self.d, self.N
         Dnp = diff_matrix(N)
         # leading axis is 1 (uniform-mesh broadcast) or num_cells
@@ -440,15 +445,25 @@ class SEMOperators:
         np.add.at(out, np.asarray(gdofs), vals)
         return jnp.asarray(out)
 
-    def facet_vector_nodal(self, tag: int, nodal_coeff) -> jnp.ndarray:
-        """Assembled ∫_{Γ_tag} c(x) φ_i ds with a per-DOF coefficient —
+    def facet_vector_nodal(self, tag: int, nodal_coeff, cell_coeff=None) -> jnp.ndarray:
+        """Assembled ∫_{Γ_tag} c_cell · s(x) φ_i ds with a per-DOF profile
+        ``s`` and an optional DG-0 material coefficient ``cell_coeff`` —
         spatially windowed sources s(x)·g(t) (reference ``LinearSpectralS2``,
-        ``_experimental.py:431-439``) and the sponge δ(x)-weighted facet
-        mass (``:898-905``)."""
+        ``_experimental.py:431-439``), the sponge δ(x)-weighted facet
+        mass (``:898-905``), and phased-aperture sources in heterogeneous
+        media (the reference keeps per-cell 1/ρ etc. inside its facet forms,
+        ``_lossy.py:107-128`` — a scalar mean is wrong when the medium varies
+        at the boundary)."""
         gdofs, w, cells = self.facet_data(tag)
         npdt = np.float32 if np.dtype(self.dtype) == np.float32 else np.float64
         gd = np.asarray(gdofs)
         vals = np.asarray(w, npdt) * np.asarray(nodal_coeff, npdt)[gd]
+        if cell_coeff is not None:
+            coeff = np.broadcast_to(
+                np.asarray(cell_coeff, npdt).reshape(-1), (self.num_cells,)
+            )
+            if len(cells):
+                vals = vals * np.repeat(coeff[cells], w.shape[0] // len(cells))
         out = np.zeros(self.ndofs, npdt)
         np.add.at(out, gd, vals)
         return jnp.asarray(out)

@@ -14,7 +14,15 @@ DOLFINx ``scatter_fwd`` / ``scatter_rev(+)`` around every operator apply
 * the only per-stage communication is completing the stiffness assembly:
   after the local segment-sum each device ``ppermute``s its two interface
   planes to its neighbours and adds the received partial sums — the
-  ``scatter_rev(std::plus)`` analogue, riding ICI.
+  ``scatter_rev(std::plus)`` analogue, riding ICI;
+* global reductions (the CG inner products of the sharded DIRK path —
+  PETSc's per-Krylov-iteration MPI allreduce, ``_linear.py:644-647``)
+  become ``psum`` of an interface-weighted local dot.
+
+Cell counts need NOT divide the device count: the last slabs are padded
+with inert cells (zero stiffness coefficient, zero fields, dot-weight 0)
+so every device runs the identical SPMD program — the analogue of the
+reference's uneven mesh partitions.
 
 Because every device's local slab has identical topology (same local mesh),
 the gather/scatter index maps, differentiation matrices and element
@@ -69,7 +77,7 @@ class SlabDecomposition:
     """Slab partition of a *uniform structured* mesh for one function space.
 
     Builds: the shared local operators, global↔stacked dof-vector reshapes,
-    and per-device coefficient slices.
+    per-device coefficient slices, and the interface/padding dot weights.
     """
 
     def __init__(self, mesh: Mesh, degree: int, ndev: int, dtype):
@@ -77,18 +85,23 @@ class SlabDecomposition:
             raise ValueError("slab decomposition needs a structured mesh")
         n = mesh.grid_shape
         d = len(n)
-        if n[0] % ndev != 0:
-            raise ValueError(f"cells along axis 0 ({n[0]}) not divisible by {ndev}")
         self.ndev = ndev
         self.dtype = dtype
         p = degree
-        nxl = n[0] // ndev
+        # Uneven partitions: pad axis 0 to the next multiple of ndev with
+        # inert cells (reference partitions are uneven too; SPMD needs
+        # identical local shapes instead).
+        nxl = -(-n[0] // ndev)  # ceil
         self.nxl = nxl
+        self.pad_cells = nxl * ndev - n[0]
         gdims = tuple(na * p + 1 for na in n)
         self.gdims = gdims
+        self.G0 = gdims[0]  # true lattice rows along axis 0
+        self.G0_pad = nxl * ndev * p + 1
         self.Lx = nxl * p + 1  # local lattice rows (incl. both interfaces)
         self.row_size = int(np.prod(gdims[1:])) if d > 1 else 1
-        self.cells_per_dev = mesh.num_cells // ndev
+        self.cells_row = int(np.prod(n[1:])) if d > 1 else 1
+        self.cells_per_dev = nxl * self.cells_row
 
         # Local mesh = first slab (uniform mesh ⇒ same geometry everywhere).
         hx = (mesh.vertices[:, 0].max() - mesh.vertices[:, 0].min()) / n[0]
@@ -112,10 +125,16 @@ class SlabDecomposition:
         self.rep_sharding = NamedSharding(self.jmesh, P())
 
     # ---- global <-> stacked dof vectors ----------------------------------
-    def to_stacked(self, vec) -> jnp.ndarray:
+    def to_stacked(self, vec, pad_value: float = 0.0) -> jnp.ndarray:
         """Global dof vector [ndofs] → stacked slabs [ndev, local_ndofs]
-        (interface planes duplicated), placed with the slab sharding."""
-        arr = np.asarray(vec).reshape(self.gdims[0], self.row_size)
+        (interface planes duplicated, padding rows set to ``pad_value``),
+        placed with the slab sharding."""
+        arr = np.asarray(vec).reshape(self.G0, self.row_size)
+        if self.G0_pad > self.G0:
+            pad = np.full(
+                (self.G0_pad - self.G0, self.row_size), pad_value, arr.dtype
+            )
+            arr = np.concatenate([arr, pad], axis=0)
         p = self.Lx - 1  # lattice rows per device minus shared plane
         slabs = [arr[d * p : d * p + self.Lx].reshape(-1) for d in range(self.ndev)]
         return jax.device_put(
@@ -123,10 +142,40 @@ class SlabDecomposition:
         )
 
     def from_stacked(self, stacked) -> np.ndarray:
-        """Stacked slabs → global vector (drop duplicated interface planes)."""
+        """Stacked slabs → global vector (drop duplicated interface planes
+        and the padding rows)."""
         s = np.asarray(stacked).reshape(self.ndev, self.Lx, self.row_size)
         rows = [s[0]] + [s[d, 1:] for d in range(1, self.ndev)]
-        return np.concatenate(rows, axis=0).reshape(-1)
+        full = np.concatenate(rows, axis=0)
+        return full[: self.G0].reshape(-1)
+
+    def dot_weights(self) -> jnp.ndarray:
+        """Stacked per-DOF weights [ndev, local_ndofs] making
+        Σ_dev Σ_i w·a·b a true global inner product: replicated interface
+        planes weigh 1/2 on each holder, padding rows weigh 0."""
+        p = self.Lx - 1
+        w = np.ones((self.ndev, self.Lx, self.row_size))
+        for d in range(self.ndev):
+            if d > 0:
+                w[d, 0] *= 0.5
+            if d < self.ndev - 1:
+                w[d, -1] *= 0.5
+            # zero padding rows (global row index >= true G0)
+            g0 = d * p
+            for r in range(self.Lx):
+                if g0 + r >= self.G0:
+                    w[d, r] = 0.0
+        return jax.device_put(
+            jnp.asarray(w.reshape(self.ndev, -1), self.dtype), self.sharding
+        )
+
+    def _pad_cells_axis0(self, arr_cells: np.ndarray, pad_value=0.0):
+        """[Nc] cell array → padded [ndev*cells_per_dev] along axis 0."""
+        a = np.asarray(arr_cells).reshape(-1, self.cells_row)
+        if self.pad_cells:
+            pad = np.full((self.pad_cells, self.cells_row), pad_value, a.dtype)
+            a = np.concatenate([a, pad], axis=0)
+        return a.reshape(-1)
 
     def shard_consts(
         self,
@@ -135,15 +184,23 @@ class SlabDecomposition:
         global_ncells: int,
         stiff_keys=(),
         raw_stiff=None,
+        nodal_stiff_keys=(),
+        raw_nodal=None,
+        pad_one=(),
     ):
         """Split a model's consts dict: dof-vectors → stacked slabs,
         cell-vectors → per-device slices, scalars pass through replicated.
 
-        Entries named in ``stiff_keys`` are stiffness DG-0 coefficients: on
-        the lattice fast path they are pre-packed into per-device mixed-rep
-        scale tensors (host-side), because packing cannot happen on traced
-        values inside shard_map."""
+        Entries named in ``stiff_keys`` are stiffness DG-0 coefficients and
+        entries in ``nodal_stiff_keys`` are nodal (per-DOF) coefficients
+        (sponge layers): both are re-packed per device from the *raw*
+        coefficient (``raw_stiff`` / ``raw_nodal``) into the local fast-path
+        format, because packing cannot happen on traced values inside
+        shard_map. Keys in ``pad_one`` pad with 1.0 instead of 0.0 (LHS
+        diagonals that are inverted inside the solver — padding must stay
+        finite)."""
         raw_stiff = raw_stiff or {}
+        raw_nodal = raw_nodal or {}
         out = {}
         for k, val in consts.items():
             if k in stiff_keys:
@@ -153,34 +210,46 @@ class SlabDecomposition:
                     np.asarray(raw_stiff[k], np.float64).reshape(-1),
                     (global_ncells,),
                 )
-                if self.ops.lattice is not None:
-                    out[k] = self._pack_stiff_coeff(coeff, global_ncells)
-                else:
-                    arr = coeff.reshape(self.ndev, self.cells_per_dev)
-                    out[k] = jax.device_put(
-                        jnp.asarray(arr, self.dtype), self.sharding
-                    )
+                out[k] = self._pack_stiff_coeff(coeff)
+                continue
+            if k in nodal_stiff_keys:
+                out[k] = self._pack_nodal_coeff(
+                    np.asarray(raw_nodal[k], np.float64).reshape(-1)
+                )
                 continue
             if np.isscalar(val) or getattr(val, "ndim", 0) == 0:
                 out[k] = val
+            elif isinstance(val, (tuple, list, dict)):
+                raise ValueError(
+                    f"const {k!r} is a packed/structured value; declare it in "
+                    "the model's STIFF_KEYS (DG-0 coefficients, raw values in "
+                    "model.raw_stiff) or NODAL_STIFF_KEYS (per-DOF "
+                    "coefficients, raw values in model.raw_nodal) so the "
+                    "sharded solver can re-pack it per device"
+                )
             elif val.shape == (global_ndofs,):
-                out[k] = self.to_stacked(val)
+                out[k] = self.to_stacked(
+                    val, pad_value=1.0 if k in pad_one else 0.0
+                )
             elif val.shape == (global_ncells,):
-                arr = np.asarray(val).reshape(self.ndev, self.cells_per_dev)
+                arr = self._pad_cells_axis0(np.asarray(val)).reshape(
+                    self.ndev, self.cells_per_dev
+                )
                 out[k] = jax.device_put(jnp.asarray(arr, val.dtype), self.sharding)
             else:
                 raise ValueError(f"const {k}: unexpected shape {val.shape}")
         return out
 
-    def _pack_stiff_coeff(self, coeff, global_ncells: int):
+    def _pack_stiff_coeff(self, coeff):
         """Per-device packed stiffness coefficients, stacked [ndev, ...] and
         sharded. The fold is over *local* cells only — the halo exchange
         completes the interface-plane sums at run time. Packs whichever
         format the local operators route to (pallas F dicts on TPU, XLA
-        mixed-rep scale tensors otherwise)."""
-        arr = np.asarray(coeff, np.float64).reshape(-1)
-        assert arr.size == global_ncells
-        per_dev = arr.reshape(self.ndev, self.cells_per_dev)
+        mixed-rep scale tensors otherwise). Padding cells get coefficient 0,
+        so they contribute nothing."""
+        per_dev = self._pad_cells_axis0(np.asarray(coeff, np.float64)).reshape(
+            self.ndev, self.cells_per_dev
+        )
         pk = self.ops.pallas2
         if pk is not None:
             packed = [pk.pack_field(per_dev[d]) for d in range(self.ndev)]
@@ -191,6 +260,10 @@ class SlabDecomposition:
                 )
                 for k in packed[0]
             }
+        if self.ops.lattice is None:
+            return jax.device_put(
+                jnp.asarray(per_dev, self.dtype), self.sharding
+            )
         packed = [self.ops.lattice.scales_field(per_dev[d]) for d in range(self.ndev)]
         stacked = tuple(
             jax.device_put(
@@ -199,6 +272,48 @@ class SlabDecomposition:
             for a in range(len(packed[0]))
         )
         return stacked
+
+    def _pack_nodal_coeff(self, nodal):
+        """Per-device packed *nodal* stiffness coefficient (sponge δ(x)):
+        slice the global lattice rows per slab (zero on padding rows) and
+        pack with the local lattice's ``scales_nodal``."""
+        if self.ops.lattice is None:
+            raise ValueError(
+                "nodal stiffness coefficients need the lattice fast path"
+            )
+        arr = np.asarray(nodal, np.float64).reshape(self.G0, self.row_size)
+        if self.G0_pad > self.G0:
+            pad = np.zeros((self.G0_pad - self.G0, self.row_size))
+            arr = np.concatenate([arr, pad], axis=0)
+        p = self.Lx - 1
+        packed = []
+        for d in range(self.ndev):
+            local = arr[d * p : d * p + self.Lx]
+            packed.append(self.ops.lattice.scales_nodal(local.reshape(-1)))
+        return tuple(
+            jax.device_put(
+                jnp.stack([packed[d][a] for d in range(self.ndev)]), self.sharding
+            )
+            for a in range(len(packed[0]))
+        )
+
+
+def _model_shard_kwargs(model):
+    return dict(
+        stiff_keys=getattr(type(model), "STIFF_KEYS", ()),
+        raw_stiff=getattr(model, "raw_stiff", None),
+        nodal_stiff_keys=getattr(type(model), "NODAL_STIFF_KEYS", ()),
+        raw_nodal=getattr(model, "raw_nodal", None),
+        pad_one=getattr(type(model), "PAD_ONE_KEYS", ()),
+    )
+
+
+def _local_consts(consts):
+    """Inside shard_map the leading device axis has local size 1 — strip it
+    from every sharded array (scalars pass through)."""
+    return jax.tree.map(
+        lambda x: x[0] if getattr(x, "ndim", 0) > 1 else x, consts
+    )
 
 
 class ShardedExplicitSolver:
@@ -221,8 +336,7 @@ class ShardedExplicitSolver:
             model.consts,
             model.ops.ndofs,
             model.mesh.num_cells,
-            stiff_keys=getattr(type(model), "STIFF_KEYS", ()),
-            raw_stiff=getattr(model, "raw_stiff", None),
+            **_model_shard_kwargs(model),
         )
         self.rhs_pure = type(model).rhs_pure
         self._run = None
@@ -248,10 +362,7 @@ class ShardedExplicitSolver:
             return (u_acc, v_acc, t + dtn), None
 
         def local_run(consts, u, v, t0, dts):
-            # inside shard_map: leading device axis has local size 1
-            consts = jax.tree.map(
-                lambda x: x[0] if getattr(x, "ndim", 0) > 1 else x, consts
-            )
+            consts = _local_consts(consts)
             u, v = u[0], v[0]
             (u, v, t), _ = jax.lax.scan(
                 partial(local_step, consts), (u, v, t0), dts
@@ -290,3 +401,121 @@ class ShardedExplicitSolver:
         model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
         model.t = t
         return model.u_n, model.v_n, t
+
+
+class ShardedImplicitSolver:
+    """Run an implicit (SDIRK) model's physics over a device mesh.
+
+    The per-Krylov-iteration global reductions of the reference's PETSc CG
+    (MPI allreduce per dot product, ``_linear.py:644-647``) become ``psum``
+    of interface-weighted local dots; the stiffness action inside the CG
+    operator completes with the same ppermute halo exchange as the explicit
+    path. Produces iterates identical to the single-device CG in exact
+    arithmetic.
+
+    Usage::
+
+        model = LinearSpectralImplicit(mesh, ...)   # global setup
+        sharded = ShardedImplicitSolver(model, ndev=8)
+        u, v, t = sharded.dirk(t0, tf)              # == model.dirk(t0, tf)
+    """
+
+    def __init__(self, model, ndev: int | None = None):
+        ndev = ndev or len(jax.devices())
+        self.model = model
+        self.dec = SlabDecomposition(
+            model.mesh, model.degree, ndev, model.dtype
+        )
+        kw = _model_shard_kwargs(model)
+        kw["pad_one"] = tuple(kw["pad_one"]) or ("m",)
+        self.consts = self.dec.shard_consts(
+            model.consts, model.ops.ndofs, model.mesh.num_cells, **kw
+        )
+        self.weights = self.dec.dot_weights()
+        self._run = None
+
+    def _build(self):
+        from ..ops.cg import cg_solve
+
+        dec, model = self.dec, self.model
+        ops = dec.ops
+        cls = type(model)
+        A_tab, b_tab, c_tab = model.A_tab, model.b_tab, model.c_tab
+        n = len(b_tab)
+        rtol, maxiter = model.cg_rtol, model.cg_maxiter
+
+        def local_step(consts, w, carry, dtn):
+            u0, v0, t = carry
+            tau = dtn * A_tab[0, 0]
+            dinv = 1.0 / cls.lhs_diag_pure(ops, consts, tau)
+            dot = lambda x, y: jax.lax.psum(jnp.sum(w * x * y), AXIS)
+            kus, kvs = [], []
+            u_acc, v_acc = u0, v0
+            it_max = jnp.zeros((), jnp.int32)
+            res_max = jnp.zeros((), v0.dtype)
+            for i in range(n):
+                un, vn = u0, v0
+                for j in range(i):
+                    un = un + (A_tab[i, j] * dtn) * kus[j]
+                    vn = vn + (A_tab[i, j] * dtn) * kvs[j]
+                tn = t + c_tab[i] * dtn
+                b = cls.rhs_stage(ops, consts, tau, tn, un, vn)
+                x0 = kvs[-1] if kvs else jnp.zeros_like(v0)
+                kv, (it, res2) = cg_solve(
+                    lambda x: cls.lhs_pure(ops, consts, tau, x), b, x0, dinv,
+                    rtol=rtol, maxiter=maxiter, dot=dot,
+                )
+                it_max = jnp.maximum(it_max, it)
+                res_max = jnp.maximum(res_max, res2.astype(v0.dtype))
+                ku = vn + tau * kv
+                kus.append(ku)
+                kvs.append(kv)
+                u_acc = u_acc + (b_tab[i] * dtn) * ku
+                v_acc = v_acc + (b_tab[i] * dtn) * kv
+            stats = jnp.stack([it_max.astype(v0.dtype), res_max])
+            return (u_acc, v_acc, t + dtn), stats
+
+        def local_run(consts, w, u, v, t0, dts):
+            consts = _local_consts(consts)
+            u, v, w = u[0], v[0], w[0]
+            (u, v, t), stats = jax.lax.scan(
+                partial(local_step, consts, w), (u, v, t0), dts
+            )
+            return u[None], v[None], t, stats
+
+        spec_consts = jax.tree.map(
+            lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
+            self.consts,
+        )
+        shmapped = jax.shard_map(
+            local_run,
+            mesh=dec.jmesh,
+            in_specs=(spec_consts, P(AXIS), P(AXIS), P(AXIS), P(), P()),
+            out_specs=(P(AXIS), P(AXIS), P(), P()),
+            check_vma=False,
+        )
+        self._run = jax.jit(shmapped)
+
+    def dirk(self, t0: float, tf: float):
+        from ..models.common import run_segmented
+
+        if self._run is None:
+            self._build()
+        dec, model = self.dec, self.model
+        u = dec.to_stacked(model.u_n)
+        v = dec.to_stacked(model.v_n)
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, stats = run_segmented(
+            lambda c, uu, vv, tt, seg: self._run(c, self.weights, uu, vv, tt, seg),
+            self.consts, u, v, t0, dts, model.dtype, collect_ys=True,
+        )
+        # stats are replicated across devices; scan output keeps [steps, 2]
+        st = np.asarray(stats).reshape(-1, 2)
+        model.cg_stats = {
+            "max_iterations": int(np.max(st[:, 0])),
+            "max_residual2": float(np.max(st[:, 1])),
+        }
+        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
+        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
+        model.t = t0 + float(np.sum(dts))
+        return model.u_n, model.v_n, model.t

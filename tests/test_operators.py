@@ -150,6 +150,20 @@ def test_stiffness_diag(dim):
     assert np.allclose(d, np.diag(K), rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("dim", [1, 2, 3])
+def test_stiffness_diag_lattice_fold(dim):
+    """The O(ndofs)-memory lattice fold must match the per-cell assembly
+    on a uniform (non-distorted) mesh with a heterogeneous coefficient."""
+    mesh = MESHES[dim]()
+    ops = SEMOperators(mesh, 3, dtype=jnp.float64)
+    assert ops.lattice is not None
+    rng = np.random.default_rng(5)
+    coeff = 0.5 + rng.random(mesh.num_cells)
+    d_fold = np.asarray(ops.stiffness_diag(coeff))
+    K = dense_stiffness_oracle(ops, coeff)
+    assert np.allclose(d_fold, np.diag(K), rtol=1e-10, atol=1e-12)
+
+
 def test_facet_vector_1d_points():
     mesh = create_interval(5)
     tag_boundaries(

@@ -13,14 +13,20 @@ import pytest
 
 from fenicsxfus_tpu import (
     LinearSpectralExplicit,
+    LinearSpectralImplicit,
+    LinearSpectralSponge,
     LossySpectralExplicit,
+    LossySpectralImplicit,
     WesterveltSpectralExplicit,
     create_box,
     create_interval,
     create_rectangle,
     tag_boundaries,
 )
-from fenicsxfus_tpu.parallel.slab import ShardedExplicitSolver
+from fenicsxfus_tpu.parallel.slab import (
+    ShardedExplicitSolver,
+    ShardedImplicitSolver,
+)
 
 
 def tagged(mesh, L):
@@ -72,7 +78,9 @@ def test_sharded_linear_2d(ndev):
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_sharded_westervelt_3d(ndev):
     def make():
-        mesh = tagged(create_box((8, 3, 3), (0, 0, 0), (1.0, 0.4, 0.4)), 1.0)
+        # 9 cells: uneven on both device counts (exercises the m0=1 padding
+        # of the nonlinear mass divide)
+        mesh = tagged(create_box((9, 3, 3), (0, 0, 0), (1.0, 0.4, 0.4)), 1.0)
         rng = np.random.default_rng(0)
         c0 = 1.0 + 0.1 * rng.random(mesh.num_cells)  # heterogeneous medium
         return WesterveltSpectralExplicit(
@@ -94,10 +102,88 @@ def test_sharded_lossy_2d():
     run_pair(make, 4)
 
 
-def test_bad_partition_raises():
-    mesh = tagged(create_interval(9, 0.0, 1.0), 1.0)
-    m = LinearSpectralExplicit(
-        mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 1e-3, dtype=jnp.float64
-    )
-    with pytest.raises(ValueError, match="not divisible"):
-        ShardedExplicitSolver(m, ndev=4)
+@pytest.mark.parametrize("ncells,ndev", [(9, 4), (13, 8), (5, 8)])
+def test_sharded_uneven_partition(ncells, ndev):
+    """Cell counts that do NOT divide the device count run with inert
+    padding cells on the last slabs (reference partitions are uneven too)."""
+
+    def make():
+        mesh = tagged(create_interval(ncells, 0.0, 1.0), 1.0)
+        return LinearSpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 5e-4, dtype=jnp.float64
+        )
+
+    run_pair(make, ndev)
+
+
+def run_pair_implicit(make_model, ndev, t_end=0.02):
+    m1 = make_model()
+    m1.init()
+    u_ref, v_ref, _ = m1.dirk(0.0, t_end)
+
+    m2 = make_model()
+    m2.init()
+    sharded = ShardedImplicitSolver(m2, ndev=ndev)
+    u_sh, v_sh, _ = sharded.dirk(0.0, t_end)
+
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    err_u = np.max(np.abs(np.asarray(u_sh) - np.asarray(u_ref))) / scale
+    assert err_u < 1e-11, err_u
+    assert m2.cg_stats["max_iterations"] >= 1
+    assert m2.cg_stats["max_iterations"] < m2.cg_maxiter
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_implicit_linear_1d(ndev):
+    def make():
+        mesh = tagged(create_interval(16, 0.0, 1.0), 1.0)
+        return LinearSpectralImplicit(
+            mesh, None, 4, 1.0, 1.0, 10.0, 1.0, 1.0, 2, 1e-3, dtype=jnp.float64
+        )
+
+    run_pair_implicit(make, ndev)
+
+
+def test_sharded_implicit_lossy_2d_uneven():
+    def make():
+        mesh = tagged(create_rectangle((7, 4), (0, 0), (1.0, 0.5)), 1.0)
+        return LossySpectralImplicit(
+            mesh, None, 3, 1.0, 1.0, 1e-3, 10.0, 1.0, 1.0, 2, 1e-3,
+            dtype=jnp.float64,
+        )
+
+    run_pair_implicit(make, 4)
+
+
+def test_sharded_sponge_2d():
+    """Nodal δ(x) stiffness coefficient (tuple-valued const) re-packed per
+    device — round-1 ``shard_consts`` silently mishandled this family."""
+
+    def make():
+        mesh = tagged(create_rectangle((8, 4), (0, 0), (1.0, 0.5)), 1.0)
+        m = LinearSpectralSponge(
+            mesh, None, 3, 1.0, 1.0, 1e-2, 10.0, 1.0, 1.0,
+            sponge_start=0.6, dtype=jnp.float64,
+        )
+        m.dt = 4e-4
+        m._build()
+        return m
+
+    run_pair(make, 4)
+
+
+def test_sharded_dirk_cg_stats_match_single_device():
+    mesh = tagged(create_interval(8, 0.0, 1.0), 1.0)
+
+    def make():
+        return LinearSpectralImplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 2, 2e-3, dtype=jnp.float64
+        )
+
+    m1 = make().init()
+    m1.dirk(0.0, 0.01)
+    m2 = make().init()
+    ShardedImplicitSolver(m2, ndev=4).dirk(0.0, 0.01)
+    # CG iterates are identical in exact arithmetic; iteration counts may
+    # differ by a hair in floating point
+    assert abs(m1.cg_stats["max_iterations"] - m2.cg_stats["max_iterations"]) <= 2
