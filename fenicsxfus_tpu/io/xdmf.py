@@ -209,6 +209,103 @@ def write_xdmf_field(path: str, ops, u, name: str = "u"):
         f.write(xml)
 
 
+class XDMFTimeSeriesWriter:
+    """Time-series field movie (the reference's VTX/ADIOS2 ``.bp`` analogue,
+    ``linear_planewave2d_1_exp.py:129-133``): one HDF5 file accumulating P1
+    snapshots plus an XDMF temporal collection ParaView can animate.
+
+    Usage::
+
+        with XDMFTimeSeriesWriter("movie.xdmf", model.ops) as w:
+            w.write(model.u_n, 0.0)
+            ...
+    """
+
+    def __init__(self, path: str, ops, name: str = "u"):
+        import h5py
+
+        self.ops = ops
+        self.name = name
+        self.base = os.path.splitext(path)[0]
+        self.h5path = self.base + ".h5"
+        self.times: list[float] = []
+        mesh = ops.mesh
+        inv = _PERM[2**mesh.dim]
+        cells_x = np.empty_like(mesh.cells)
+        cells_x[:, inv] = mesh.cells
+        self._h5 = h5py.File(self.h5path, "w")
+        self._h5["/mesh/geometry"] = mesh.vertices
+        self._h5["/mesh/topology"] = cells_x
+
+    def write(self, u, t: float):
+        idx = len(self.times)
+        self._h5[f"/fields/{self.name}/{idx}"] = _vertex_values(self.ops, u)
+        self.times.append(float(t))
+
+    def close(self):
+        mesh = self.ops.mesh
+        nv, dim = mesh.vertices.shape
+        nc, npe = mesh.cells.shape
+        geom_type = {1: "X", 2: "XY", 3: "XYZ"}[dim]
+        h5name = os.path.basename(self.h5path)
+        frames = []
+        for i, t in enumerate(self.times):
+            frames.append(f"""      <Grid Name="t{i}" GridType="Uniform">
+        <xi:include xpointer="xpointer(//Grid[@Name='mesh_ref']/*)"/>
+        <Time Value="{t!r}"/>
+        <Attribute Name="{self.name}" AttributeType="Scalar" Center="Node">
+          <DataItem Dimensions="{nv} 1" Format="HDF">{h5name}:/fields/{self.name}/{i}</DataItem>
+        </Attribute>
+      </Grid>""")
+        xml = f"""<?xml version="1.0"?>
+<Xdmf Version="3.0" xmlns:xi="http://www.w3.org/2001/XInclude">
+  <Domain>
+    <Grid Name="mesh_ref" GridType="Uniform">
+      <Topology TopologyType="{_XDMF_TOPO[dim]}" NumberOfElements="{nc}" NodesPerElement="{npe}">
+        <DataItem Dimensions="{nc} {npe}" NumberType="Int" Format="HDF">{h5name}:/mesh/topology</DataItem>
+      </Topology>
+      <Geometry GeometryType="{geom_type}">
+        <DataItem Dimensions="{nv} {dim}" Format="HDF">{h5name}:/mesh/geometry</DataItem>
+      </Geometry>
+    </Grid>
+    <Grid Name="series" GridType="Collection" CollectionType="Temporal">
+{os.linesep.join(frames)}
+    </Grid>
+  </Domain>
+</Xdmf>
+"""
+        with open(self.base + ".xdmf", "w") as f:
+            f.write(xml)
+        self._h5.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def write_movie(model, t0: float, tf: float, path: str, n_frames: int = 20,
+                name: str = "u"):
+    """Time-march ``model`` from t0 to tf writing ``n_frames`` equally spaced
+    field snapshots — the reference's per-step ``VTXWriter.write`` loop
+    (``linear_planewave2d_1_exp.py:129-133``) at a chosen frame rate.
+    Returns the frame times."""
+    w = XDMFTimeSeriesWriter(path, model.ops, name)
+    try:
+        w.write(model.u_n, t0)
+        bounds = np.linspace(t0, tf, n_frames + 1)
+        t = t0
+        for tn in bounds[1:]:
+            model.rk(t, float(tn))
+            t = model.t
+            w.write(model.u_n, t)
+    finally:
+        w.close()
+    return np.asarray(w.times)
+
+
 def _vertex_values(ops, u) -> np.ndarray:
     """Restrict a nodal GLL field to mesh vertices: [Nv]."""
     mesh, N, d = ops.mesh, ops.N, ops.d

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.operators import SEMOperators
-from .common import dirk_tables, make_rk_scan, source_window, step_sizes
+from .common import dirk_tables, source_window, step_sizes
 
 
 def _cellwise(val, num_cells):
@@ -178,7 +178,6 @@ class ExplicitModelBase(SpectralModelBase):
                 [c[k] for k in dense_keys],
                 [c[k + "__pf"] for k in facet_keys],
             ),
-            source_amplitudes,
         )
 
     def rhs(self, t, u, v):
@@ -202,15 +201,67 @@ class ExplicitModelBase(SpectralModelBase):
     def sensor_indices(self, points) -> np.ndarray:
         """Nearest-DOF indices for sensor ``points`` [dim, n]. On the
         structured meshes used by the benchmark drivers the sensors are
-        placed on lattice nodes, so this is exact; the snap distance is
-        available for callers that need to check."""
+        placed on lattice nodes, so this is exact. Lattice meshes snap in
+        O(n) closed form per axis; unstructured meshes use a KD-tree (the
+        round-1 brute-force distance scan cost ~30 s per call at 2M DOF on
+        this single-core host — longer than the runs it instrumented)."""
         pts = np.asarray(points, np.float64)
-        coords = self.ops.dof_coords()  # [ndofs, dim]
-        idx = np.empty(pts.shape[1], np.int64)
-        for j in range(pts.shape[1]):
-            d2 = np.sum((coords - pts[:, j][None, :]) ** 2, axis=1)
-            idx[j] = int(np.argmin(d2))
-        return idx
+        lat = getattr(self.ops, "lattice", None)
+        mesh = self.mesh
+        if lat is not None and mesh.grid_shape is not None:
+            from ..core.gll import gll_points_weights_01
+
+            gll, _ = gll_points_weights_01(lat.N)
+            lo = mesh.vertices.min(axis=0)
+            d = mesh.dim
+            per_axis = []
+            for a in range(d):
+                xi = (pts[a] - lo[a]) / lat.h[a]
+                cell = np.clip(np.floor(xi).astype(np.int64), 0, lat.grid[a] - 1)
+                loc = np.clip(xi - cell, 0.0, 1.0)
+                node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
+                per_axis.append(cell * lat.p + node)
+            return np.ravel_multi_index(per_axis, lat.gdims)
+        try:
+            from scipy.spatial import cKDTree
+
+            tree = cKDTree(self.ops.dof_coords())
+            return tree.query(pts.T)[1].astype(np.int64)
+        except ImportError:
+            coords = self.ops.dof_coords()  # [ndofs, dim]
+            idx = np.empty(pts.shape[1], np.int64)
+            for j in range(pts.shape[1]):
+                d2 = np.sum((coords - pts[:, j][None, :]) ** 2, axis=1)
+                idx[j] = int(np.argmin(d2))
+            return idx
+
+    def _sensor_extractor(self, idx: np.ndarray):
+        """TPU-cheap per-step sensor extraction: slice the static bounding
+        box of the sensor lattice coordinates first (an axial sensor line is
+        a [G0, 1, 1] column), then gather within the tiny box. A raw scalar
+        gather from the full field lowers near-serially on TPU — measured
+        37x slower than the whole fused RK4 step it instruments."""
+        import jax.numpy as _jnp
+
+        lat = getattr(self.ops, "lattice", None)
+        if lat is None:
+            idxj = _jnp.asarray(np.asarray(idx, np.int32))
+            return lambda u: u.reshape(-1)[idxj]
+        gdims = lat.gdims
+        i3 = np.unravel_index(np.asarray(idx, np.int64), gdims)
+        lo = [int(i.min()) for i in i3]
+        hi = [int(i.max()) + 1 for i in i3]
+        box = tuple(h - lo_a for lo_a, h in zip(lo, hi))
+        flat_box = np.ravel_multi_index(
+            [i - lo_a for i, lo_a in zip(i3, lo)], box
+        )
+        flat_box = _jnp.asarray(flat_box.astype(np.int32))
+        sl = tuple(slice(lo_a, h) for lo_a, h in zip(lo, hi))
+
+        def extract(u):
+            return u.reshape(gdims)[sl].reshape(-1)[flat_box]
+
+        return extract
 
     def rk_record(self, t0: float, tf: float, points):
         """Time-march like ``rk`` while recording u(t) at sensor ``points``
@@ -221,10 +272,20 @@ class ExplicitModelBase(SpectralModelBase):
         from .common import make_recording_scan, step_sizes
 
         idx = self.sensor_indices(points)
-        solve = make_recording_scan(self._make_step(), self.dtype)
-        u, v, t, ys = solve(
-            self.consts, self.u_n, self.v_n, t0, tf, self.dt, idx
-        )
+        # cache the compiled recording scan per sensor set: rebuilding the
+        # jit closure per call recompiles the whole fused program (~40 s at
+        # production sizes) — 30x the cost of actually running it
+        key = idx.tobytes()  # the sensor set defines the compiled program
+        cache = getattr(self, "_rec_solves", None)
+        if cache is None:
+            cache = self._rec_solves = {}
+        solve = cache.get(key)
+        if solve is None:
+            solve = make_recording_scan(
+                self._make_step(), self.dtype, self._sensor_extractor(idx)
+            )
+            cache[key] = solve
+        u, v, t, ys = solve(self.consts, self.u_n, self.v_n, t0, tf, self.dt)
         dts = step_sizes(t0, tf, self.dt)
         times = t0 + np.cumsum(dts)
         self.u_n, self.v_n, self.t = u, v, float(t)

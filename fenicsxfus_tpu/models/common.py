@@ -125,29 +125,30 @@ def make_scan_from_step(step, dtype):
     return solve
 
 
-def make_recording_scan(step, dtype):
+def make_recording_scan(step, dtype, extract):
     """Like ``make_scan_from_step`` but records point-sensor time series
     *inside* the scan (device-side, no per-step host round trips — the
     reference extracts sensors only after the run,
     ``python/benchmarks/MENDOUSSE/mendousse.py`` tail):
-    ``solve(consts, u, v, t0, tf, dt, sensor_idx) -> (u, v, t, ys)`` with
-    ``ys`` of shape [n_steps, n_sensors] sampling u after every full step."""
+    ``solve(consts, u, v, t0, tf, dt) -> (u, v, t, ys)`` with ``ys`` of
+    shape [n_steps, n_sensors] sampling ``extract(u)`` after every full
+    step. ``extract`` must be TPU-cheap — see
+    ``ExplicitModelBase._sensor_extractor`` (a raw per-step scalar gather
+    from the full field measured 37x slower than the step itself)."""
 
     @jax.jit
-    def run(consts, u, v, t0, dts, idx):
+    def run(consts, u, v, t0, dts):
         def body(carry, dtn):
             out, _ = step(consts, carry, dtn)
-            return out, out[0].reshape(-1)[idx]
+            return out, extract(out[0])
 
         (u, v, t), ys = jax.lax.scan(body, (u, v, t0), dts)
         return u, v, t, ys
 
-    def solve(consts, u, v, t0, tf, dt, sensor_idx):
-        idx = jnp.asarray(np.asarray(sensor_idx, np.int32))
+    def solve(consts, u, v, t0, tf, dt):
         dts = np.asarray(step_sizes(t0, tf, dt))
         return run_segmented(
-            lambda c, uu, vv, tt, seg: run(c, uu, vv, tt, seg, idx),
-            consts, u, v, t0, dts, dtype, collect_ys=True,
+            run, consts, u, v, t0, dts, dtype, collect_ys=True
         )
 
     return solve

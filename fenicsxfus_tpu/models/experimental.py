@@ -323,7 +323,42 @@ def adaptive_rk45(rhs, u0, v0, t0, tf, dt0, atol=1e-9, rtol=1e-9, max_steps=1_00
     return u, v, t, steps
 
 
-class LinearSpectralAdaptive(LinearSpectralExplicit):
+class _AdaptiveRKMixin:
+    """Shared adaptive-RK driver: ONE cached jitted program with consts /
+    t0 / tf as arguments (the round-1 version closed over ``self.rhs`` and
+    the times, retracing on every ``rk()`` call and baking device arrays
+    into the HLO — against the framework's consts-as-args rule,
+    ``models/common.py::make_rk_step``)."""
+
+    _arun = None
+
+    def _adaptive_run(self):
+        if self._arun is None:
+            ops = self.ops
+            rhs_pure = type(self).rhs_pure
+            atol, rtol = self.atol, self.rtol
+
+            @jax.jit
+            def run(consts, u, v, t0, tf, dt0):
+                rhs = lambda t, uu, vv: rhs_pure(ops, consts, t, uu, vv)
+                return adaptive_rk45(rhs, u, v, t0, tf, dt0, atol, rtol)
+
+            self._arun = run
+        return self._arun
+
+    def rk(self, t0: float, tf: float):
+        dt0 = 0.01 * (tf - t0) / 100.0
+        u, v, t, steps = self._adaptive_run()(
+            self.consts, self.u_n, self.v_n,
+            jnp.asarray(t0, self.dtype), jnp.asarray(tf, self.dtype),
+            jnp.asarray(dt0, self.dtype),
+        )
+        self.u_n, self.v_n, self.t = u, v, float(t)
+        self.nsteps = int(steps)
+        return self.u_n, self.v_n, self.t, self.nsteps
+
+
+class LinearSpectralAdaptive(_AdaptiveRKMixin, LinearSpectralExplicit):
     """Adaptive-RK linear solver (reference ``LinearSpectralSciPy``,
     ``_experimental.py:543-712``) — runs the whole adaptive loop on device."""
 
@@ -333,22 +368,8 @@ class LinearSpectralAdaptive(LinearSpectralExplicit):
                          4, 1.0, dtype=dtype)
         self.atol, self.rtol = atol, rtol
 
-    def rk(self, t0: float, tf: float):
-        dt0 = 0.01 * (tf - t0) / 100.0
 
-        @jax.jit
-        def run(u, v):
-            return adaptive_rk45(
-                self.rhs, u, v, t0, tf, dt0, self.atol, self.rtol
-            )
-
-        u, v, t, steps = run(self.u_n, self.v_n)
-        self.u_n, self.v_n, self.t = u, v, float(t)
-        self.nsteps = int(steps)
-        return self.u_n, self.v_n, self.t, self.nsteps
-
-
-class WesterveltSpectralAdaptive(WesterveltSpectralExplicit):
+class WesterveltSpectralAdaptive(_AdaptiveRKMixin, WesterveltSpectralExplicit):
     """Adaptive-RK Westervelt solver (reference ``WesterveltSpectralSciPy``,
     ``_experimental.py:987-1188``)."""
 
@@ -357,20 +378,6 @@ class WesterveltSpectralAdaptive(WesterveltSpectralExplicit):
         super().__init__(mesh, meshtags, degree, c0, rho0, delta0, beta0,
                          freq0, p0, s0, 4, 1.0, dtype=dtype)
         self.atol, self.rtol = atol, rtol
-
-    def rk(self, t0: float, tf: float):
-        dt0 = 0.01 * (tf - t0) / 100.0
-
-        @jax.jit
-        def run(u, v):
-            return adaptive_rk45(
-                self.rhs, u, v, t0, tf, dt0, self.atol, self.rtol
-            )
-
-        u, v, t, steps = run(self.u_n, self.v_n)
-        self.u_n, self.v_n, self.t = u, v, float(t)
-        self.nsteps = int(steps)
-        return self.u_n, self.v_n, self.t, self.nsteps
 
 
 # Reference-name aliases (API parity with the reference package exports)

@@ -48,22 +48,50 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-KIND_FIELDS = {"linear": 1, "lossy": 2, "westervelt": 2}
+KIND_FIELDS = {"linear": 1, "lossy": 2, "westervelt": 2, "focused": 2}
 # dense per-DOF extras read by the epilogue, in operand order
 KIND_DENSE = {
     "linear": ("inv_m",),
     "lossy": ("inv_m",),
     "westervelt": ("m0", "d2"),
+    "focused": ("m0", "d2"),
 }
 # facet (boundary-only) vectors: passed in the packed face representation
 # below — reading them as dense fields would cost 2-3 full HBM passes per
-# stage for data that lives on a measure-zero set
+# stage for data that lives on a measure-zero set. The last entry is always
+# the ABC diagonal (pointwise −vn coefficient); the others take the scalar
+# time coefficients produced by ``source_coefs`` below.
 KIND_FACET = {
     "linear": ("src_vec", "abc_diag"),
     "lossy": ("src_vec", "src_vec_d", "abc_diag"),
     "westervelt": ("src_vec", "src_vec_d", "abc_diag"),
+    # phased-aperture (bowl) source: cos/sin phase-split pairs for g and dg
+    # (models/focused.py)
+    "focused": ("src_cos", "src_sin", "src_cos_d", "src_sin_d", "abc_diag"),
 }
 KIND_EXTRAS = {k: KIND_DENSE[k] + KIND_FACET[k] for k in KIND_FIELDS}
+
+
+def source_coefs(kind, consts, t):
+    """Scalar time coefficients for the non-ABC facet vectors of ``kind``
+    (the g(t)/dg(t) structure of the reference sources, ``_lossy.py:169-189``;
+    the phase-split identity for the focused source, ``models/focused.py``)."""
+    from ..models.base import source_amplitudes
+    from ..models.common import source_window
+
+    if kind == "focused":
+        w0 = consts["w0"]
+        amp = consts["p0"] * w0 / consts["s0"]
+        win, dwin = source_window(t, consts["freq"], consts["alpha"])
+        cos_t, sin_t = jnp.cos(w0 * t), jnp.sin(w0 * t)
+        return [
+            (win * amp) * cos_t,
+            (win * amp) * sin_t,
+            (dwin * amp) * cos_t - (win * amp * w0) * sin_t,
+            (dwin * amp) * sin_t + (win * amp * w0) * cos_t,
+        ]
+    g, dg = source_amplitudes(consts, t)
+    return [g] if kind == "linear" else [g, dg]
 
 
 def pack_facet_vector(vec, gdims):
@@ -133,11 +161,11 @@ def _apply_corrections(b, corr):
     return b
 
 
-def _epilogue(kind, acc, un, vn, dense, corr, g, dg):
+def _epilogue(kind, acc, un, vn, dense, corr):
     """kv from the assembled stiffness ``acc``, the stage fields, and the
     facet corrections — the reference's f1 tail (RHS boundary terms +
     lumped-mass divide)."""
-    if kind == "westervelt":
+    if kind in ("westervelt", "focused"):
         m0, d2 = dense
         b = _apply_corrections(d2 * (vn * vn) - acc, corr)
         return b / (m0 - d2 * un)
@@ -284,7 +312,6 @@ class FusedRKStage:
                     (refs[i][0, :, :], refs[i + 1][0, :, :], refs[i + 2][0, :, :])
                 )
                 i += 3
-            g, dg = scal[0, 2], scal[0, 3]
             un, vn = self._stage_fields(
                 u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
             )
@@ -300,9 +327,10 @@ class FusedRKStage:
                 )
                 y2t = y2 if y2t is None else y2t + y2
             acc = acc + y2t.T
-            coefs = [g, "abc"] if nfa == 2 else [g, dg, "abc"]
+            # scal layout: [alpha, beta, src_0..src_{nfa-2}] (+ final tail)
+            coefs = [scal[0, 2 + j] for j in range(nfa - 1)] + ["abc"]
             corr = _facet_corrections(fvals, coefs, vn, G0)
-            kv = _epilogue(kind, acc, un, vn, dense, corr, g, dg)
+            kv = _epilogue(kind, acc, un, vn, dense, corr)
             if not final:
                 refs[-1][0, :, :] = kv
                 return
@@ -314,12 +342,13 @@ class FusedRKStage:
                 + [kv]
             )
             ns = len(kvs)
-            u1 = u0 + scal[0, 4] * v0
+            off = 2 + (nfa - 1)  # position of dt·Σb in scal
+            u1 = u0 + scal[0, off] * v0
             for j in range(ns - 1):
-                u1 = u1 + scal[0, 5 + j] * kvs[j]
+                u1 = u1 + scal[0, off + 1 + j] * kvs[j]
             v1 = v0
             for i_s in range(ns):
-                v1 = v1 + scal[0, 5 + (ns - 1) + i_s] * kvs[i_s]
+                v1 = v1 + scal[0, off + 1 + (ns - 1) + i_s] * kvs[i_s]
             refs[-2][0, :, :] = u1
             refs[-1][0, :, :] = v1
 
@@ -408,17 +437,18 @@ class FusedRKStage:
 
     # -------------------------------------------------------------- step
 
-    def make_step(self, consts_to_Fs, consts_to_extras, source_fn):
+    def make_step(self, consts_to_Fs, consts_to_extras):
         """Step function (consts, (u, v, t), dt) -> ((u, v, t+dt), None).
 
         ``consts_to_Fs(consts)``: per-field packed F dicts;
         ``consts_to_extras(consts)``: (dense KIND_DENSE vectors,
-        packed-facet KIND_FACET dicts);
-        ``source_fn(consts, t) -> (g, dg)``.
+        packed-facet KIND_FACET dicts). Source time coefficients come from
+        ``source_coefs(kind, consts, t)``.
         """
         a_t, b_t, c_t = self.a_tab, self.b_tab, self.c_tab
         n = self.nstage
         dtype = self.dtype
+        kind = self.kind
 
         def step(consts, carry, dtn):
             u0, v0, t = carry
@@ -431,14 +461,17 @@ class FusedRKStage:
                 kvpp = kvs[i - 2] if i >= 2 else None
                 alpha = a_t[i] * dtn
                 beta = (a_t[i] * a_t[i - 1] if i >= 1 else 0.0) * dtn * dtn
-                g, dg = source_fn(consts, t + c_t[i] * dtn)
+                srcs = source_coefs(kind, consts, t + c_t[i] * dtn)
                 final = i == n - 1
                 if final:
                     cu = [b_t[j + 1] * a_t[j + 1] * dtn * dtn for j in range(n - 1)]
                     db = [b_t[j] * dtn for j in range(n)]
-                    parts = [alpha, beta, g, dg, float(np.sum(b_t)) * dtn] + cu + db
+                    parts = (
+                        [alpha, beta] + srcs
+                        + [float(np.sum(b_t)) * dtn] + cu + db
+                    )
                 else:
-                    parts = [alpha, beta, g, dg]
+                    parts = [alpha, beta] + srcs
                 scal = jnp.stack(
                     [jnp.asarray(pp, dtype) for pp in parts]
                 ).reshape(1, -1)

@@ -1,0 +1,115 @@
+"""HITU suite: scenario constants, phased-aperture source math, smoke runs.
+
+The quantitative bowl validation vs the O'Neil axial solution needs
+production resolution and runs on the TPU
+(``benchmarks/hitu/validate_oneil.py``, results committed under
+``benchmarks/hitu/results/``); these tests pin the host-side pieces.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "hitu_common",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "benchmarks", "hitu", "common.py"),
+)
+hitu = importlib.util.module_from_spec(_spec)
+sys.modules["hitu_common"] = hitu
+_spec.loader.exec_module(hitu)
+
+from fenicsxfus_tpu.models.focused import bowl_delays  # noqa: E402
+
+
+def test_scenario_constants_match_reference():
+    # p0 = rho c u0 (reference main.cpp:36-37)
+    m = hitu.MEDIA["WATER"]
+    p0 = m["rho0"] * m["c0"] * hitu.SOURCE_VELOCITY[("W", "H101", "WATER")]
+    assert abs(p0 - 1000.0 * 1480.0 * 0.13984880278551745) < 1e-6
+    assert hitu.MEDIA["LIVER"]["att_dB"] == 90.0
+    assert hitu.MEDIA["LIVER"]["beta"] == 4.4
+    assert hitu.TRANSDUCERS["H131"]["L"] == 0.08
+
+
+def test_bowl_delays_focus_and_obliquity():
+    a, roc, c0 = 0.032, 0.0632, 1480.0
+    r = np.linspace(0.0, a, 200)
+    coords = np.stack([np.zeros_like(r), r, np.zeros_like(r)])
+    w, tau = bowl_delays(coords, np.zeros(3), a, roc, c0)
+    # exact focusing at the bowl's centre of curvature F = sqrt(roc^2-a^2)
+    # from the rim plane: arrival time tau + dist/c0 constant (= roc/c0)
+    F = np.sqrt(roc**2 - a**2)
+    arrive = tau + np.sqrt(F**2 + r**2) / c0
+    assert np.ptp(arrive) < 1e-15
+    assert abs(arrive[0] - roc / c0) < 1e-15
+    # rim fires first (zero delay), centre last (bowl depth / c0)
+    assert abs(tau[-1]) < 1e-15
+    assert abs(tau[0] - (roc - F) / c0) < 1e-15
+    # obliquity weight 1/cos(theta): 1 at the centre, roc/sqrt(roc^2-a^2) at rim
+    assert abs(w[0] - 1.0) < 1e-12
+    assert abs(w[-1] - roc / np.sqrt(roc**2 - a**2)) < 1e-12
+    assert np.all(np.diff(w) >= 0)
+    # outside the aperture: zero
+    coords_out = np.array([[0.0], [a * 1.01], [0.0]])
+    w_out, tau_out = bowl_delays(coords_out, np.zeros(3), a, roc, c0)
+    assert w_out[0] == 0.0 and tau_out[0] == 0.0
+
+
+def test_focused_source_uses_per_cell_coefficients():
+    """Heterogeneous ρ at the source plane must weight the facet vector
+    per cell, not by a scalar mean (round-1 weak #5)."""
+    import jax.numpy as jnp
+
+    from fenicsxfus_tpu import create_box, tag_boundaries
+    from fenicsxfus_tpu.models.focused import WesterveltSpectralFocused
+
+    def make(rho):
+        mesh = create_box((4, 4, 4), (0, 0, 0), (0.04, 0.04, 0.04))
+        tag_boundaries(mesh, {1: lambda x: x[0] < 1e-12}, default=2)
+        return WesterveltSpectralFocused(
+            mesh, None, 2, 1500.0, rho, 0.0, 0.0, 1e5, 1.0, 1500.0, 4, 1e-7,
+            aperture_radius=0.02, focal_distance=0.03,
+            center=np.array([0.0, 0.02, 0.02]), dtype=jnp.float64,
+        )
+
+    m_homog = make(1000.0)
+    mesh2 = create_box((4, 4, 4), (0, 0, 0), (0.04, 0.04, 0.04))
+    mids = mesh2.cell_midpoints()
+    rho_het = np.where(mids[:, 1] < 0.02, 500.0, 2000.0)
+    m_het = make(rho_het)
+    s_h = np.asarray(m_homog.consts["src_cos"])
+    s_t = np.asarray(m_het.consts["src_cos"])
+    # the heterogeneous vector differs from ANY scalar rescaling of the
+    # homogeneous one on the active dofs
+    nz = np.abs(s_h) > 1e-30
+    ratios = s_t[nz] / s_h[nz]
+    assert np.ptp(ratios) > 0.5  # genuinely per-cell, not one scalar
+
+
+@pytest.mark.parametrize("kind,tx,medium", [
+    ("W", "H101", "WATER"),
+    ("W", "H131", "LIVER"),
+    ("V", "H131", "WATER"),
+])
+def test_hitu_smoke(kind, tx, medium):
+    import jax.numpy as jnp
+
+    x, amp = hitu.run(kind, tx, medium, nx=10, degree=2, f0=1e5,
+                      final_time=8e-6, dtype=jnp.float64)
+    assert np.all(np.isfinite(amp))
+    assert amp.max() > 0.0
+
+
+def test_v_variant_is_lossy_not_nonlinear():
+    import jax.numpy as jnp
+
+    m, _, _, _ = hitu.build_model("V", "H131", "WATER", nx=6, degree=2,
+                                  f0=1e5, dtype=jnp.float64)
+    # beta = 0 -> nonlinear diagonal d2 identically zero
+    assert float(np.max(np.abs(np.asarray(m.consts["d2"])))) == 0.0
+    # attenuation present -> delta-weighted source derivative vector nonzero
+    assert float(np.max(np.abs(np.asarray(m.consts["src_cos_d"])))) > 0.0

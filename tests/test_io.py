@@ -78,6 +78,47 @@ def test_field_output(tmp_path):
     assert np.allclose(vv, mesh.vertices[:, 0] ** 2, atol=1e-13)
 
 
+def test_movie_timeseries(tmp_path):
+    """write_movie: temporal XDMF collection with frames matching the
+    equivalent single rk() run (the VTX .bp analogue, VERDICT r1 #8)."""
+    import xml.etree.ElementTree as ET
+
+    import h5py
+
+    from fenicsxfus_tpu import create_rectangle, tag_boundaries
+    from fenicsxfus_tpu.io.xdmf import write_movie
+
+    def make():
+        mesh = create_rectangle((10, 3), (0, 0), (1.0, 0.3))
+        tag_boundaries(
+            mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12}
+        )
+        return LinearSpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 1e-3, dtype=jnp.float64
+        )
+
+    m = make().init()
+    path = tmp_path / "movie.xdmf"
+    times = write_movie(m, 0.0, 0.2, str(path), n_frames=5)
+    assert len(times) == 6 and abs(times[-1] - 0.2) < 1e-12
+
+    ref = make().init()
+    u_ref, _, _ = ref.rk(0.0, 0.2)
+    from fenicsxfus_tpu.io.xdmf import _vertex_values
+
+    with h5py.File(tmp_path / "movie.h5", "r") as f:
+        assert np.allclose(
+            np.asarray(f["/fields/u/5"]), _vertex_values(ref.ops, u_ref),
+            atol=1e-12,
+        )
+        assert np.max(np.abs(np.asarray(f["/fields/u/3"]))) > 0
+    # valid XML with 6 temporal frames
+    tree = ET.parse(path)
+    coll = [g for g in tree.getroot().iter("Grid")
+            if g.get("CollectionType") == "Temporal"]
+    assert len(coll) == 1 and len(coll[0].findall("Grid")) == 6
+
+
 def test_checkpoint_resume(tmp_path):
     """A run split by checkpoint/resume must match the uninterrupted run."""
     import jax.numpy as jnp

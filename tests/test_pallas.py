@@ -112,6 +112,38 @@ def test_fused_stage_westervelt(hetero, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("hetero", [False, True])
+def test_fused_stage_focused(hetero, monkeypatch):
+    """Phased-aperture (bowl) source: 4 phase-split facet vectors through
+    the fused stage — the HITU/PH1-SC2 hot path."""
+    from fenicsxfus_tpu.models.focused import WesterveltSpectralFocused
+
+    L = 1.0
+    mesh = create_box((6, 4, 4), (0, 0, 0), (L, 0.5, 0.5))
+    tag_boundaries(mesh, {1: lambda x: x[0] < 1e-12}, default=2)
+    nc = mesh.num_cells
+    rng = np.random.default_rng(3)
+    c0 = rng.uniform(1400, 1600, nc) if hetero else 1500.0
+    rho0 = rng.uniform(900, 1100, nc) if hetero else 1000.0
+    dt = 1e-8
+    args = dict(mesh=mesh, meshtags=None, degree=3, c0=c0, rho0=rho0,
+                delta0=4e-3, beta0=3.5, freq0=0.5e6, p0=6e4, s0=1500.0,
+                rk_order=4, dt=dt, aperture_radius=0.2, focal_distance=0.6,
+                center=np.array([0.0, 0.25, 0.25]), dtype=jnp.float64)
+
+    monkeypatch.setenv("FUS_PALLAS", "1")
+    m_fused = WesterveltSpectralFocused(**args)
+    assert m_fused._try_build_fused() is not None, "fused path not taken"
+    uf, vf, _ = m_fused.rk(0.0, 5 * dt)
+    monkeypatch.setenv("FUS_PALLAS", "0")
+    m_ref = WesterveltSpectralFocused(**args)
+    ur, vr, _ = m_ref.rk(0.0, 5 * dt)
+    for a, b in [(uf, ur), (vf, vr)]:
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 1e-12, err
+
+
 @pytest.mark.parametrize("order", [1, 2, 3])
 def test_fused_stage_rk_orders(order, monkeypatch):
     """The closed-form step update must match the reference a-vector loop

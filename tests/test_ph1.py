@@ -6,18 +6,21 @@ the TPU (results committed under ``benchmarks/ph1/results/``); these tests
 pin the host-side pieces that make those runs meaningful.
 """
 
+import importlib.util
 import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(
-    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "benchmarks", "ph1")
+_spec = importlib.util.spec_from_file_location(
+    "ph1_common",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "benchmarks", "ph1", "common.py"),
 )
-
-import common as ph1  # noqa: E402
+ph1 = importlib.util.module_from_spec(_spec)
+sys.modules["ph1_common"] = ph1
+_spec.loader.exec_module(ph1)
 
 from fenicsxfus_tpu.analysis.analytical import (  # noqa: E402
     oneil_axial_amplitude,
