@@ -73,7 +73,7 @@ def build_csr_plan(dofmap, ndofs):
     return inv, K
 
 
-def main(nx=28, degree=4):
+def main(nx=28, degree=4, with_segsum=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -123,29 +123,44 @@ def main(nx=28, degree=4):
     scale = None
 
     def normalised(f, x0):
-        y = f(x0)
+        fj = jax.jit(f)  # eager op-by-op dispatch compiles ~100 one-op
+        y = fj(x0)       # programs through the relay (~minutes) — jit it
         r = float(jnp.max(jnp.abs(y)) / jnp.max(jnp.abs(x0)))
         return lambda y_: f(y_) * (1.0 / r)
 
-    total = normalised(lambda y: ops.stiffness_apply_generic([y], [coeff]), x)
-    roundtrip = normalised(lambda y: scatter(y[gidx]), x)
-    roundtrip_csr = normalised(lambda y: scatter_csr(y[gidx]), x)
+    total_blocked = normalised(lambda y: ops.stiffness_apply([y], [coeff]), x)
     contract = normalised(ops._stiffness_cells, z0)
+    if with_segsum:
+        total = normalised(
+            lambda y: ops.stiffness_apply_generic([y], [coeff]), x
+        )
+        roundtrip = normalised(lambda y: scatter(y[gidx]), x)
+        roundtrip_csr = normalised(lambda y: scatter_csr(y[gidx]), x)
+        roundtrip_blk = normalised(
+            lambda y: ops.blocked.scatter(ops.blocked.gather(y)), x
+        )
 
-    err = float(
-        jnp.max(jnp.abs(scatter_csr(z0) - scatter(z0)))
-        / jnp.max(jnp.abs(scatter(z0)))
-    )
-    assert err < 1e-5, err
+    if with_segsum:
+        err = float(
+            jnp.max(jnp.abs(scatter_csr(z0) - scatter(z0)))
+            / jnp.max(jnp.abs(scatter(z0)))
+        )
+        assert err < 1e-5, err
 
-    tt = slope(total, x)
-    trt = slope(roundtrip, x)
-    tcsr = slope(roundtrip_csr, x)
+    ttb = slope(total_blocked, x)
     tc = slope(contract, z0)
     print(f"  contract            {tc*1e3:8.2f} ms ({n/tc/1e9:6.2f} GDOF/s)")
-    print(f"  gather+scatter      {trt*1e3:8.2f} ms ({n/trt/1e9:6.2f} GDOF/s)")
-    print(f"  gather+csr-gather   {tcsr*1e3:8.2f} ms ({n/tcsr/1e9:6.2f} GDOF/s) [K={K}]")
-    print(f"  total apply         {tt*1e3:8.2f} ms ({n/tt/1e9:6.2f} GDOF/s)")
+    tt = None
+    if with_segsum:
+        tt = slope(total, x)
+        trt = slope(roundtrip, x)
+        tcsr = slope(roundtrip_csr, x)
+        trb = slope(roundtrip_blk, x)
+        print(f"  gather+scatter      {trt*1e3:8.2f} ms ({n/trt/1e9:6.2f} GDOF/s)")
+        print(f"  gather+csr-gather   {tcsr*1e3:8.2f} ms ({n/tcsr/1e9:6.2f} GDOF/s) [K={K}]")
+        print(f"  blocked g+s         {trb*1e3:8.2f} ms ({n/trb/1e9:6.2f} GDOF/s)")
+        print(f"  total (segsum)      {tt*1e3:8.2f} ms ({n/tt/1e9:6.2f} GDOF/s)")
+    print(f"  total (blocked)     {ttb*1e3:8.2f} ms ({n/ttb/1e9:6.2f} GDOF/s)")
 
     # lattice path per-DOF comparison at the same size
     lat_mesh = create_box((nx, nx, nx), (0, 0, 0), (1.0, 1.0, 1.0))
@@ -161,12 +176,15 @@ def main(nx=28, degree=4):
         sc = lops.pack_scales(1.0)
         lat_f = normalised(lambda y: lops.lattice.apply_scaled([(y, sc)]), xl)
     tl = slope(lat_f, xl)
+    seg = f"  (segsum {tt/tl*lops.ndofs/n:.1f}x)" if tt else ""
     print(f"  lattice (same size) {tl*1e3:8.2f} ms ({lops.ndofs/tl/1e9:6.2f} GDOF/s)"
-          f"  -> generic/lattice per-DOF ratio {tt/tl*lops.ndofs/n:.1f}x")
+          f"  -> blocked/lattice per-DOF ratio {ttb/tl*lops.ndofs/n:.1f}x{seg}")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=28)
     ap.add_argument("--degree", type=int, default=4)
+    ap.add_argument("--with-segsum", action="store_true",
+                    help="also time the (very slow) scalar-gather oracle")
     main(**vars(ap.parse_args()))

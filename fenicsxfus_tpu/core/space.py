@@ -99,25 +99,94 @@ class FunctionSpace:
     def dofmap(self) -> np.ndarray:
         if self._structured:
             return self.dofmap_for_cells(np.arange(self.mesh.num_cells))
-        dofmap, ndofs, coords = self._generic_dofmap()
-        self.ndofs = ndofs
-        self._generic_dof_coords = coords
+        dofmap = self._blocked_dofmap()
+        self.ndofs = int(self.block_offsets["end"])
         return dofmap
 
-    def _generic_dofmap(self):
-        coords = cell_node_coords(self.mesh, self.N)  # [Nc, N**d, dim]
-        flat = coords.reshape(-1, self.mesh.dim)
-        scale = max(float(np.max(np.abs(flat))), 1.0)
-        key = np.round(flat / (1e-10 * scale)).astype(np.int64)
-        _, first, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
-        dofmap = inv.reshape(coords.shape[0], coords.shape[1]).astype(np.int32)
-        return dofmap, int(first.size), flat[first]
+    def _blocked_dofmap(self) -> np.ndarray:
+        """Entity-blocked DOF numbering for unstructured conforming meshes:
+        [cell interiors | face interiors | edge interiors | vertices] —
+        the layout the row-granular assembly (``ops/blocked.py``) needs.
+        Every gather/scatter over this numbering moves whole entity rows."""
+        from .conn import (
+            edge_canonical_pos,
+            extract_connectivity,
+            face_canonical_pos,
+            local_edges_3d,
+            local_faces,
+        )
+
+        mesh, N, d = self.mesh, self.N, self.mesh.dim
+        m = N - 2
+        nc = mesh.num_cells
+        conn = extract_connectivity(mesh)
+        self.conn = conn
+        sizes = {
+            "I": nc * m**d,
+            "F": conn.num_faces * m ** (d - 1) if d >= 2 else 0,
+            "E": conn.num_edges * m if d == 3 else 0,
+            "V": mesh.num_vertices,
+        }
+        off = {"I": 0}
+        off["F"] = off["I"] + sizes["I"]
+        off["E"] = off["F"] + sizes["F"]
+        off["V"] = off["E"] + sizes["E"]
+        off["end"] = off["V"] + sizes["V"]
+        self.block_offsets = off
+
+        lattice = np.arange(N**d).reshape((N,) * d)
+        dofmap = np.empty((nc, N**d), np.int64)
+        cells = np.asarray(mesh.cells, np.int64)
+        rows = np.arange(nc)
+
+        # interiors
+        if m > 0:
+            ii = lattice[(slice(1, N - 1),) * d].reshape(-1)
+            dofmap[:, ii] = off["I"] + (
+                rows[:, None] * m**d + np.arange(m**d)[None, :]
+            )
+        # faces (3D) / edges-as-faces (2D)
+        if d >= 2 and m > 0:
+            if d == 3:
+                tables = np.stack(
+                    [face_canonical_pos(m, o).reshape(-1) for o in range(8)]
+                )  # [8, m*m]
+            else:
+                tables = np.stack(
+                    [edge_canonical_pos(m, o) for o in range(2)]
+                )  # [2, m]
+            for k, (a, s, uv) in enumerate(local_faces(d)):
+                sl = [slice(1, N - 1)] * d
+                sl[a] = N - 1 if s else 0
+                ii = lattice[tuple(sl)].reshape(-1)  # cell-local lex (u, v)
+                pos = tables[conn.face_orient[:, k].astype(np.int64)]  # [Nc, m^(d-1)]
+                dofmap[:, ii] = (
+                    off["F"]
+                    + conn.face_ids[:, k][:, None] * m ** (d - 1)
+                    + pos
+                )
+        # edges (3D)
+        if d == 3 and m > 0:
+            etab = np.stack([edge_canonical_pos(m, o) for o in range(2)])
+            for k, (a, fixed) in enumerate(local_edges_3d()):
+                sl = [None, None, None]
+                sl[a] = slice(1, N - 1)
+                for ax, s in fixed:
+                    sl[ax] = N - 1 if s else 0
+                ii = lattice[tuple(sl)].reshape(-1)
+                pos = etab[conn.edge_flip[:, k].astype(np.int64)]
+                dofmap[:, ii] = (
+                    off["E"] + conn.edge_ids[:, k][:, None] * m + pos
+                )
+        # vertices
+        for v in range(2**d):
+            bits = [(v >> (d - 1 - a)) & 1 for a in range(d)]
+            ii = int(lattice[tuple((N - 1) if b else 0 for b in bits)])
+            dofmap[:, ii] = off["V"] + cells[:, v]
+        return dofmap.astype(np.int32)
 
     @cached_property
     def dof_coords(self) -> np.ndarray:
-        if not self._structured:
-            _ = self.dofmap  # resolves coords as a side effect
-            return self._generic_dof_coords
         coords = cell_node_coords(self.mesh, self.N).reshape(-1, self.mesh.dim)
         out = np.zeros((self.ndofs, self.mesh.dim))
         out[self.dofmap.reshape(-1)] = coords

@@ -71,6 +71,7 @@ class LinearSpectralExplicit(ExplicitModelBase):
 
     STIFF_KEYS = ("coeff_u",)
     FUSED_KIND = "linear"
+    SHARD_INV_KEYS = ("inv_m",)  # stored as 1/assembled-diagonal
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float32):

@@ -27,6 +27,7 @@ class LossySpectralExplicit(ExplicitModelBase):
 
     STIFF_KEYS = ("coeff_u", "coeff_v")
     FUSED_KIND = "lossy"
+    SHARD_INV_KEYS = ("inv_m",)
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
                  rk_order, dt, dtype=jnp.float32):

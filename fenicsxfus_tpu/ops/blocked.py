@@ -1,0 +1,336 @@
+"""Row-granular gather/scatter for unstructured conforming quad/hex meshes.
+
+The TPU equivalent of the reference's sum-factorised ("sf") rung for
+unstructured meshes (``cpp/fenicsx-sf/common/spectral_op.hpp:70-86``
+gather → kernel → scatter-add). Two measured TPU facts drive the design:
+
+* XLA lowers scalar-index gathers at ~0.6 GB/s but row-granular
+  gathers/scatter-adds at 70-500+ GB/s (``benchmarks/unstructured_speed.py``);
+* any array whose last two dims are small is physically tiled to (8, 128)
+  — a [Nc, 3, 3] face block costs 90 MB at 22k cells. Everything here
+  therefore stays strictly 2D [rows, cols], and all intra-row index motion
+  (orientation transforms, placement into the tensor-lex cell layout) is
+  done with tiny constant 0/1 matrices on the MXU.
+
+Global DOFs are numbered by entity class
+
+    [ cell interiors | face interiors | edge interiors | vertices ]
+
+(``FunctionSpace`` blocked numbering, built from ``core/conn.py``):
+
+* gather   = per-local-entity row gathers from lane-padded entity tables
+  + one placement matmul per entity class into the [Nc, N^d] cell array;
+* scatter  = the exact transpose: extraction matmuls + row scatter-adds.
+
+Orientations select among a handful of permutation matrices with one-hot
+cell masks — no data-dependent indexing anywhere in the hot loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PREC = jax.lax.Precision.HIGHEST  # 0/1 matmuls must not truncate to bf16
+
+VPAD = 8  # minimum lane-padded row width for entity tables
+
+
+def _padw(w: int) -> int:
+    return max(-(-w // 8) * 8, VPAD)
+
+
+def _place_matrix(width: int, cols, ncols: int, perm=None) -> np.ndarray:
+    """[width, ncols] 0/1 matrix placing row entry ``perm[q]`` (default q)
+    at column ``cols[q]``."""
+    M = np.zeros((width, ncols), np.float64)
+    for q, c in enumerate(cols):
+        src = q if perm is None else int(perm[q])
+        M[src, c] = 1.0
+    return M
+
+
+class BlockedAssembly:
+    """gather/scatter between blocked global vectors and [Nc, N^d] cell
+    arrays. Built once per (mesh, degree); all index/placement data are
+    compile-time constants."""
+
+    def __init__(self, space):
+        from ..core.conn import (
+            edge_canonical_pos,
+            face_canonical_pos,
+            local_edges_3d,
+            local_faces,
+        )
+
+        self.space = space
+        mesh = space.mesh
+        d, N = mesh.dim, space.N
+        self.d, self.N = d, N
+        m = N - 2
+        self.m = m
+        self.nc = mesh.num_cells
+        self.nd = N**d
+        conn = space.conn
+        self.conn = conn
+        self.off = space.block_offsets
+        nc, nd = self.nc, self.nd
+
+        lattice = np.arange(nd).reshape((N,) * d)
+
+        def face_cols(a, s):
+            sl = [slice(1, N - 1)] * d
+            sl[a] = N - 1 if s else 0
+            return lattice[tuple(sl)].reshape(-1)
+
+        def edge_cols(a, fixed):
+            sl = [None] * d
+            sl[a] = slice(1, N - 1)
+            for ax, s in fixed:
+                sl[ax] = N - 1 if s else 0
+            return lattice[tuple(sl)].reshape(-1)
+
+        with jax.ensure_compile_time_eval():
+            self.cells_j = jnp.asarray(np.asarray(mesh.cells, np.int32))
+            # interior placement [m^d, nd]
+            if m > 0:
+                ii = lattice[(slice(1, N - 1),) * d].reshape(-1)
+                self.P_I = jnp.asarray(_place_matrix(m**d, ii, nd))
+            # faces: per (local face, orientation code) a combined
+            # canonical→cell placement matrix [padw(mf), nd]
+            self.face_data = []
+            if d >= 2 and m > 0:
+                self.fids_j = jnp.asarray(conn.face_ids.astype(np.int32))
+                mf = m ** (d - 1)
+                wf = _padw(mf)
+                for k, (a, s, uv) in enumerate(local_faces(d)):
+                    cols = face_cols(a, s)
+                    o_arr = conn.face_orient[:, k]
+                    codes = sorted(int(c) for c in np.unique(o_arr))
+                    entries = []
+                    for o in codes:
+                        pos = (
+                            face_canonical_pos(m, o).reshape(-1)
+                            if d == 3
+                            else edge_canonical_pos(m, o)
+                        )
+                        M = jnp.asarray(_place_matrix(wf, cols, nd, perm=pos))
+                        if len(codes) == 1:
+                            mask = None
+                        else:
+                            mask = jnp.asarray(
+                                (o_arr == o).astype(np.float64).reshape(nc, 1)
+                            )
+                        entries.append((mask, M))
+                    self.face_data.append(entries)
+            # edges (3D)
+            self.edge_data = []
+            if d == 3 and m > 0:
+                self.eids_j = jnp.asarray(conn.edge_ids.astype(np.int32))
+                we = _padw(m)
+                for k, (a, fixed) in enumerate(local_edges_3d()):
+                    cols = edge_cols(a, fixed)
+                    fl = conn.edge_flip[:, k]
+                    codes = sorted(int(c) for c in np.unique(fl))
+                    entries = []
+                    for o in codes:
+                        pos = edge_canonical_pos(m, o)
+                        M = jnp.asarray(_place_matrix(we, cols, nd, perm=pos))
+                        mask = (
+                            None
+                            if len(codes) == 1
+                            else jnp.asarray(
+                                (fl == o).astype(np.float64).reshape(nc, 1)
+                            )
+                        )
+                        entries.append((mask, M))
+                    self.edge_data.append(entries)
+            # vertices: [VPAD, nd] placing table column 0 at the corner
+            self.vert_P = []
+            for v in range(2**d):
+                bits = [(v >> (d - 1 - a)) & 1 for a in range(d)]
+                col = int(lattice[tuple((N - 1) if b else 0 for b in bits)])
+                self.vert_P.append(
+                    jnp.asarray(_place_matrix(VPAD, [col], nd))
+                )
+            # one combined placement matrix G [K_total, nd]: block-rows =
+            # interior P_I, per-face/edge single-code placement (or plain
+            # placement for multi-code entries, whose orientation select is
+            # applied to the rows first), per-vertex placement. ONE matmul
+            # per direction instead of ~26 (each reading/writing a full
+            # [Nc, ~128]-physical pass).
+            self._multi_T = {}  # (kind, k) -> [(mask, T [w, w])]
+            mf = m ** (d - 1)
+            gblocks = []
+            if m > 0:
+                gblocks.append(np.asarray(self.P_I))
+            from ..core.conn import local_edges_3d as _le3, local_faces as _lf
+
+            if d >= 2 and m > 0:
+                from ..core.conn import edge_canonical_pos as _ecp
+                from ..core.conn import face_canonical_pos as _fcp
+
+                for k, (a, s, uv) in enumerate(_lf(d)):
+                    cols = face_cols(a, s)
+                    o_arr = conn.face_orient[:, k]
+                    codes = sorted(int(c) for c in np.unique(o_arr))
+                    wf = _padw(mf)
+                    if len(codes) == 1:
+                        pos = (
+                            _fcp(m, codes[0]).reshape(-1)
+                            if d == 3
+                            else _ecp(m, codes[0])
+                        )
+                        gblocks.append(_place_matrix(wf, cols, nd, perm=pos))
+                    else:
+                        gblocks.append(_place_matrix(wf, cols, nd))
+                        Ts = []
+                        for o in codes:
+                            pos = (
+                                _fcp(m, o).reshape(-1) if d == 3 else _ecp(m, o)
+                            )
+                            T = np.zeros((wf, wf))
+                            for q in range(len(pos)):
+                                T[int(pos[q]), q] = 1.0
+                            Ts.append((
+                                jnp.asarray(
+                                    (o_arr == o).astype(np.float64).reshape(nc, 1)
+                                ),
+                                jnp.asarray(T),
+                            ))
+                        self._multi_T[("f", k)] = Ts
+            if d == 3 and m > 0:
+                from ..core.conn import edge_canonical_pos as _ecp
+
+                we = _padw(m)
+                for k, (a, fixed) in enumerate(_le3()):
+                    cols = edge_cols(a, fixed)
+                    fl = conn.edge_flip[:, k]
+                    codes = sorted(int(c) for c in np.unique(fl))
+                    if len(codes) == 1:
+                        gblocks.append(_place_matrix(
+                            we, cols, nd, perm=_ecp(m, codes[0])
+                        ))
+                    else:
+                        gblocks.append(_place_matrix(we, cols, nd))
+                        Ts = []
+                        for o in codes:
+                            pos = _ecp(m, o)
+                            T = np.zeros((we, we))
+                            for q in range(len(pos)):
+                                T[int(pos[q]), q] = 1.0
+                            Ts.append((
+                                jnp.asarray(
+                                    (fl == o).astype(np.float64).reshape(nc, 1)
+                                ),
+                                jnp.asarray(T),
+                            ))
+                        self._multi_T[("e", k)] = Ts
+            for P in self.vert_P:
+                gblocks.append(np.asarray(P))
+            self.G = jnp.asarray(np.concatenate(gblocks, axis=0))
+            self._block_widths = [g.shape[0] for g in gblocks]
+
+    # ------------------------------------------------------------- tables
+    def _entity_tables(self, x):
+        """Lane-padded 2D entity tables (xF [Nf, wf], xE [Ne, we],
+        xV [Nv, VPAD]) from a blocked global vector."""
+        d, m = self.d, self.m
+        off = self.off
+        xF = xE = None
+        if d >= 2 and m > 0:
+            mf = m ** (d - 1)
+            t = x[off["F"] : off["E"]].reshape(-1, mf)
+            xF = jnp.pad(t, ((0, 0), (0, _padw(mf) - mf)))
+        if d == 3 and m > 0:
+            t = x[off["E"] : off["V"]].reshape(-1, m)
+            xE = jnp.pad(t, ((0, 0), (0, _padw(m) - m)))
+        xV = jnp.pad(x[off["V"] :][:, None], ((0, 0), (0, VPAD - 1)))
+        return xF, xE, xV
+
+    @staticmethod
+    def _mm(a, b):
+        return jnp.dot(a, b, precision=_PREC, preferred_element_type=a.dtype)
+
+    def _oriented(self, rows, kind, k, transpose=False):
+        """Apply the (rare) multi-orientation column permutation to gathered
+        rows (or its transpose on the scatter side); identity when the
+        entity's orientation is uniform across cells."""
+        Ts = self._multi_T.get((kind, k))
+        if Ts is None:
+            return rows
+        dt = rows.dtype
+        out = None
+        for mask, T in Ts:
+            piece = self._mm(rows, (T.T if transpose else T).astype(dt))
+            piece = mask.astype(dt) * piece
+            out = piece if out is None else out + piece
+        return out
+
+    # -------------------------------------------------------------- gather
+    def gather(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Blocked global vector [ndofs] → cell array [Nc, N, .., N]:
+        entity-row gathers → ONE combined placement matmul."""
+        d, N, m, nc, nd = self.d, self.N, self.m, self.nc, self.nd
+        off = self.off
+        xF, xE, xV = self._entity_tables(x)
+        pieces = []
+        if m > 0:
+            pieces.append(x[off["I"] : off["F"]].reshape(nc, m**d))
+        for k in range(len(self.face_data)):
+            pieces.append(
+                self._oriented(xF[self.fids_j[:, k]], "f", k)
+            )
+        for k in range(len(self.edge_data)):
+            pieces.append(
+                self._oriented(xE[self.eids_j[:, k]], "e", k)
+            )
+        for v in range(2**d):
+            pieces.append(xV[self.cells_j[:, v]])
+        big = jnp.concatenate(pieces, axis=1)
+        xc = self._mm(big, self.G.astype(x.dtype))
+        return xc.reshape((nc,) + (N,) * d)
+
+    # ------------------------------------------------------------- scatter
+    def scatter(self, yc: jnp.ndarray) -> jnp.ndarray:
+        """Cell array [Nc, N^d] → additively assembled blocked global
+        vector [ndofs] — the exact transpose of ``gather``."""
+        d, N, m, nc, nd = self.d, self.N, self.m, self.nc, self.nd
+        off = self.off
+        yc2 = yc.reshape(nc, nd)
+        dt = yc2.dtype
+        big = self._mm(yc2, self.G.astype(dt).T)
+        splits = np.cumsum(self._block_widths)[:-1]
+        chunks = jnp.split(big, splits, axis=1)
+        i = 0
+        parts = []
+        if m > 0:
+            parts.append(chunks[i].reshape(-1))
+            i += 1
+        else:
+            parts.append(jnp.zeros((0,), dt))
+        if self.face_data:
+            mf = m ** (d - 1)
+            nf = (off["E"] - off["F"]) // mf
+            yF = jnp.zeros((nf, _padw(mf)), dt)
+            for k in range(len(self.face_data)):
+                piece = self._oriented(chunks[i], "f", k, transpose=True)
+                yF = yF.at[self.fids_j[:, k]].add(piece)
+                i += 1
+            parts.append(yF[:, :mf].reshape(-1))
+        if self.edge_data:
+            ne = (off["V"] - off["E"]) // m
+            yE = jnp.zeros((ne, _padw(m)), dt)
+            for k in range(len(self.edge_data)):
+                piece = self._oriented(chunks[i], "e", k, transpose=True)
+                yE = yE.at[self.eids_j[:, k]].add(piece)
+                i += 1
+            parts.append(yE[:, :m].reshape(-1))
+        nv = self.space.mesh.num_vertices
+        yV = jnp.zeros((nv, VPAD), dt)
+        for v in range(2**d):
+            yV = yV.at[self.cells_j[:, v]].add(chunks[i])
+            i += 1
+        parts.append(yV[:, 0])
+        return jnp.concatenate(parts)

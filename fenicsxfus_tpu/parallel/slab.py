@@ -83,8 +83,30 @@ class SlabDecomposition:
     def __init__(self, mesh: Mesh, degree: int, ndev: int, dtype):
         if mesh.grid_shape is None:
             raise ValueError("slab decomposition needs a structured mesh")
-        n = mesh.grid_shape
+        self._setup(
+            mesh.grid_shape,
+            mesh.vertices.min(axis=0),
+            mesh.vertices.max(axis=0),
+            degree,
+            ndev,
+            dtype,
+        )
+
+    @classmethod
+    def from_grid(cls, grid, lo, hi, degree: int, ndev: int, dtype):
+        """Mesh-free construction (streamed setup path — never builds the
+        global mesh, host memory O(local))."""
+        self = object.__new__(cls)
+        self._setup(tuple(grid), np.asarray(lo, float), np.asarray(hi, float),
+                    degree, ndev, dtype)
+        return self
+
+    def _setup(self, n, lo, hi, degree: int, ndev: int, dtype):
         d = len(n)
+        self.grid = tuple(n)
+        self.lo = np.asarray(lo, float)
+        self.hi = np.asarray(hi, float)
+        self.degree = degree
         self.ndev = ndev
         self.dtype = dtype
         p = degree
@@ -104,11 +126,9 @@ class SlabDecomposition:
         self.cells_per_dev = nxl * self.cells_row
 
         # Local mesh = first slab (uniform mesh ⇒ same geometry everywhere).
-        hx = (mesh.vertices[:, 0].max() - mesh.vertices[:, 0].min()) / n[0]
-        lo = mesh.vertices.min(axis=0)
-        hi = mesh.vertices.max(axis=0)
-        lo_l, hi_l = lo.copy(), hi.copy()
-        hi_l[0] = lo[0] + nxl * hx
+        self.hx = (self.hi[0] - self.lo[0]) / n[0]
+        lo_l, hi_l = self.lo.copy(), self.hi.copy()
+        hi_l[0] = self.lo[0] + nxl * self.hx
         from ..core.mesh import _structured
 
         local = _structured((nxl,) + tuple(n[1:]), tuple(lo_l), tuple(hi_l))
@@ -384,23 +404,53 @@ class ShardedExplicitSolver:
         )
         self._run = jax.jit(shmapped)
 
+    def _initial_stacked(self):
+        """Stacked (u, v): from the model's global state, or — on the
+        streamed-setup path, where no global vector exists — sharded zeros
+        carried across calls."""
+        dec, model = self.dec, self.model
+        if getattr(self, "_streamed", False):
+            if not hasattr(self, "_u_st"):
+                z = jax.device_put(
+                    jnp.zeros((dec.ndev, dec.local_ndofs), model.dtype),
+                    dec.sharding,
+                )
+                self._u_st, self._v_st = z, z
+            return self._u_st, self._v_st
+        return dec.to_stacked(model.u_n), dec.to_stacked(model.v_n)
+
+    def _store_stacked(self, us, vs, t):
+        dec, model = self.dec, self.model
+        if getattr(self, "_streamed", False):
+            self._u_st, self._v_st = us, vs
+            model.t = t
+            return us, vs, t
+        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
+        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
+        model.t = t
+        return model.u_n, model.v_n, t
+
+    def global_result(self):
+        """Materialize the global (u, v) on host — for analysis at sizes
+        where that is affordable (streamed-setup path)."""
+        return (
+            self.dec.from_stacked(self._u_st),
+            self.dec.from_stacked(self._v_st),
+        )
+
     def rk(self, t0: float, tf: float):
         from ..models.common import run_segmented
 
         if self._run is None:
             self._build()
-        dec, model = self.dec, self.model
-        u = dec.to_stacked(model.u_n)
-        v = dec.to_stacked(model.v_n)
+        model = self.model
+        u, v = self._initial_stacked()
         dts = np.asarray(step_sizes(t0, tf, model.dt))
         us, vs, t = run_segmented(
             self._run, self.consts, u, v, t0, dts, model.dtype
         )
         t = t0 + float(np.sum(dts))
-        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
-        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
-        model.t = t
-        return model.u_n, model.v_n, t
+        return self._store_stacked(us, vs, t)
 
 
 class ShardedImplicitSolver:
@@ -496,14 +546,17 @@ class ShardedImplicitSolver:
         )
         self._run = jax.jit(shmapped)
 
+    _initial_stacked = ShardedExplicitSolver._initial_stacked
+    _store_stacked = ShardedExplicitSolver._store_stacked
+    global_result = ShardedExplicitSolver.global_result
+
     def dirk(self, t0: float, tf: float):
         from ..models.common import run_segmented
 
         if self._run is None:
             self._build()
         dec, model = self.dec, self.model
-        u = dec.to_stacked(model.u_n)
-        v = dec.to_stacked(model.v_n)
+        u, v = self._initial_stacked()
         dts = np.asarray(step_sizes(t0, tf, model.dt))
         us, vs, t, stats = run_segmented(
             lambda c, uu, vv, tt, seg: self._run(c, self.weights, uu, vv, tt, seg),
@@ -515,7 +568,220 @@ class ShardedImplicitSolver:
             "max_iterations": int(np.max(st[:, 0])),
             "max_residual2": float(np.max(st[:, 1])),
         }
-        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
-        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
-        model.t = t0 + float(np.sum(dts))
-        return model.u_n, model.v_n, model.t
+        return self._store_stacked(us, vs, t0 + float(np.sum(dts)))
+
+
+# ---------------------------------------------------------------------------
+# Streamed per-device setup (no global DOF vector ever materialized)
+
+
+def _finalize_local_consts(raw, inv_keys, pad_one, true_rows, Lx, row_size,
+                           dtype):
+    """Additive raw local consts [Lx, rs] → final storage values: reinvert
+    INV keys (0 stays 0), set padding rows of PAD_ONE keys to 1."""
+    out = {}
+    for k, v in raw.items():
+        a = v
+        if k in inv_keys:
+            a = np.where(a != 0.0, 1.0 / np.where(a == 0.0, 1.0, a), 0.0)
+        if k in pad_one and true_rows < Lx:
+            a = a.copy()
+            a[true_rows:] = 1.0
+        out[k] = np.asarray(a, dtype).reshape(-1)
+    return out
+
+
+def build_sharded(model_factory, grid, lo, hi, degree, ndev, dtype,
+                  implicit: bool = False, solver_kwargs=None):
+    """Build a sharded solver with host peak memory O(ndofs/ndev): the
+    model is constructed once per slab on its local mesh — the reference's
+    'every MPI rank constructs its partition' pattern
+    (``cpp/fenicsx-sf/.../main.cpp:56-63`` partitioned read) — and each
+    shard is placed on its device as it is produced. No global mesh, no
+    global DOF vector.
+
+    ``model_factory(local_mesh) -> model``: construct the model on the
+    given (coordinate-positioned) slab mesh — tag boundaries with position
+    predicates (interface x-planes must match NO predicate) and derive
+    DG-0 coefficients from ``local_mesh.cell_midpoints()``. Uneven
+    partitions: trailing slabs get a shorter (or no) mesh; their consts are
+    padded with inert values automatically.
+
+    Models declare ``SHARD_INV_KEYS`` for consts stored as reciprocals of
+    additively-assembled diagonals (e.g. ``inv_m``); every other [ndofs]
+    const is treated as additively assembled and interface-plane summed
+    (the ``scatter_rev(+)`` of setup data).
+
+    Returns a ``ShardedExplicitSolver`` / ``ShardedImplicitSolver`` whose
+    state starts as sharded zeros; use ``.rk_stacked`` / ``.dirk`` wrappers
+    or the plain ``rk``/``dirk`` (which materialize the global result —
+    fine below pod scale)."""
+    from ..core.mesh import _structured
+
+    solver_kwargs = solver_kwargs or {}
+    dec = SlabDecomposition.from_grid(grid, lo, hi, degree, ndev, dtype)
+    n0 = grid[0]
+    nxl, Lx, rs = dec.nxl, dec.Lx, dec.row_size
+    p = degree
+    devices = list(dec.jmesh.devices.reshape(-1))
+
+    template = None
+    cls = None
+    inv_keys = pad_one = stiff_keys = nodal_keys = ()
+    scalar_consts = {}
+    shards: dict[str, list] = {}
+    packed_shards: dict[str, list] = {}
+
+    prev = None  # (dev_index, raw dict [Lx, rs], true_rows, raw_stiff, raw_nodal)
+
+    def ship(dev_idx, raw, true_rows, raw_stiff, raw_nodal):
+        final = _finalize_local_consts(
+            raw, inv_keys, pad_one, true_rows, Lx, rs, dtype
+        )
+        for k, v in final.items():
+            shards.setdefault(k, []).append(
+                jax.device_put(jnp.asarray(v)[None], devices[dev_idx])
+            )
+        for k, coeff in raw_stiff.items():
+            packed = dec._pack_one_stiff(coeff)
+            leaves, treedef = jax.tree.flatten(packed)
+            entry = packed_shards.setdefault(k, {"treedef": treedef, "leaves": []})
+            placed = [
+                jax.device_put(leaf[None], devices[dev_idx]) for leaf in leaves
+            ]
+            entry["leaves"].append(placed)
+        for k, nodal in raw_nodal.items():
+            packed = dec.ops.lattice.scales_nodal(nodal.reshape(-1))
+            leaves, treedef = jax.tree.flatten(tuple(packed))
+            entry = packed_shards.setdefault(k, {"treedef": treedef, "leaves": []})
+            placed = [
+                jax.device_put(leaf[None], devices[dev_idx]) for leaf in leaves
+            ]
+            entry["leaves"].append(placed)
+
+    for d_idx in range(ndev):
+        c_lo = d_idx * nxl
+        c_hi = min((d_idx + 1) * nxl, n0)
+        tc = max(c_hi - c_lo, 0)
+        raw = {}
+        raw_stiff = {}
+        raw_nodal = {}
+        true_rows = tc * p + 1 if tc > 0 else 0
+        if tc > 0:
+            l0 = dec.lo.copy()
+            h0 = dec.hi.copy()
+            l0[0] = dec.lo[0] + c_lo * dec.hx
+            h0[0] = dec.lo[0] + c_hi * dec.hx
+            lmesh = _structured((tc,) + tuple(grid[1:]), tuple(l0), tuple(h0))
+            model = model_factory(lmesh)
+            if template is None:
+                template = model
+                cls = type(model)
+                inv_keys = tuple(getattr(cls, "SHARD_INV_KEYS", ()))
+                pad_one = tuple(getattr(cls, "PAD_ONE_KEYS", ()))
+                stiff_keys = tuple(getattr(cls, "STIFF_KEYS", ()))
+                nodal_keys = tuple(getattr(cls, "NODAL_STIFF_KEYS", ()))
+                if implicit:
+                    pad_one = pad_one or ("m",)
+            ndl = model.ops.ndofs
+            for k, v in model.consts.items():
+                if k in stiff_keys:
+                    coeff = np.broadcast_to(
+                        np.asarray(model.raw_stiff[k], np.float64).reshape(-1),
+                        (tc * dec.cells_row,),
+                    )
+                    full = np.zeros(dec.cells_per_dev)
+                    full[: coeff.size] = coeff
+                    raw_stiff[k] = full
+                    continue
+                if k in nodal_keys:
+                    nod = np.asarray(
+                        model.raw_nodal[k], np.float64
+                    ).reshape(true_rows, rs)
+                    full = np.zeros((Lx, rs))
+                    full[:true_rows] = nod
+                    raw_nodal[k] = full
+                    continue
+                if np.isscalar(v) or getattr(v, "ndim", 0) == 0:
+                    scalar_consts[k] = v
+                    continue
+                arr = np.asarray(v, np.float64)
+                if arr.size != ndl:
+                    raise ValueError(
+                        f"const {k}: shape {arr.shape} not a dof vector; "
+                        "declare STIFF_KEYS/NODAL_STIFF_KEYS"
+                    )
+                a = arr.reshape(true_rows, rs)
+                if k in inv_keys:
+                    a = np.where(a != 0.0, 1.0 / np.where(a == 0.0, 1.0, a), 0.0)
+                full = np.zeros((Lx, rs))
+                full[:true_rows] = a
+                raw[k] = full
+        else:
+            if template is None:
+                raise ValueError("first slab has no cells — reduce ndev")
+            for k in dof_key_template:
+                raw[k] = np.zeros((Lx, rs))
+            for k in stiff_keys:
+                raw_stiff[k] = np.zeros(dec.cells_per_dev)
+            for k in nodal_keys:
+                raw_nodal[k] = np.zeros((Lx, rs))
+        if d_idx == 0:
+            dof_key_template = list(raw.keys())
+
+        # patch the shared interface plane with the previous slab (additive)
+        if prev is not None:
+            praw = prev[1]
+            for k in raw:
+                s = praw[k][-1] + raw[k][0]
+                praw[k][-1] = s
+                raw[k][0] = s
+            ship(*prev)
+        prev = (d_idx, raw, true_rows, raw_stiff, raw_nodal)
+    ship(*prev)
+
+    # assemble the sharded consts
+    consts = dict(scalar_consts)
+    for k, pieces in shards.items():
+        consts[k] = jax.make_array_from_single_device_arrays(
+            (ndev, Lx * rs), dec.sharding, pieces
+        )
+    for k, entry in packed_shards.items():
+        leaves_by_pos = list(zip(*entry["leaves"]))
+        glob_leaves = []
+        for pos_pieces in leaves_by_pos:
+            shp = (ndev,) + tuple(pos_pieces[0].shape[1:])
+            glob_leaves.append(
+                jax.make_array_from_single_device_arrays(
+                    shp, NamedSharding(dec.jmesh, P(AXIS)), list(pos_pieces)
+                )
+            )
+        consts[k] = jax.tree.unflatten(entry["treedef"], glob_leaves)
+
+    solver_cls = ShardedImplicitSolver if implicit else ShardedExplicitSolver
+    solver = object.__new__(solver_cls)
+    solver.model = template
+    solver.dec = dec
+    solver.consts = consts
+    if implicit:
+        solver.weights = dec.dot_weights()
+    else:
+        solver.rhs_pure = cls.rhs_pure
+    solver._run = None
+    solver._streamed = True
+    return solver
+
+
+def _pack_one_stiff(self, coeff):
+    """Pack ONE device's [cells_per_dev] DG-0 stiffness coefficient into the
+    local fast-path format (pallas F dict on TPU, XLA scale tuple else)."""
+    pk = self.ops.pallas2
+    arr = np.asarray(coeff, np.float64).reshape(-1)
+    if pk is not None:
+        return {k: jnp.asarray(v) for k, v in pk.pack_field(arr).items()}
+    if self.ops.lattice is None:
+        return jnp.asarray(arr, self.dtype)
+    return tuple(self.ops.lattice.scales_field(arr))
+
+
+SlabDecomposition._pack_one_stiff = _pack_one_stiff

@@ -172,6 +172,109 @@ def test_sharded_sponge_2d():
     run_pair(make, 4)
 
 
+@pytest.mark.parametrize("ncells,ndev", [(16, 4), (13, 4)])
+def test_streamed_setup_matches_global(ncells, ndev):
+    """build_sharded (per-slab model construction, no global DOF vector)
+    must reproduce the globally-constructed sharded solver exactly."""
+    from fenicsxfus_tpu.parallel.slab import build_sharded
+
+    L = 1.0
+    args = dict(degree=3, c0=1.2, rho0=0.9, freq0=10.0, p0=1.0, s0=1.2,
+                rk_order=4, dt=5e-4, dtype=jnp.float64)
+
+    def tags(mesh):
+        return tag_boundaries(
+            mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > L - 1e-12}
+        )
+
+    # global construction
+    gmesh = tags(create_interval(ncells, 0.0, L))
+    gm = LinearSpectralExplicit(gmesh, None, **args).init()
+    g_sh = ShardedExplicitSolver(gm, ndev=ndev)
+    u_ref, v_ref, _ = g_sh.rk(0.0, 0.04)
+
+    # streamed per-slab construction
+    def factory(local_mesh):
+        tags(local_mesh)
+        return LinearSpectralExplicit(local_mesh, None, **args)
+
+    solver = build_sharded(
+        factory, (ncells,), (0.0,), (L,), args["degree"], ndev, jnp.float64
+    )
+    solver.rk(0.0, 0.04)
+    u_st, v_st = solver.global_result()
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    assert np.max(np.abs(u_st - np.asarray(u_ref))) / scale < 1e-12
+    scale_v = np.max(np.abs(np.asarray(v_ref))) + 1e-300
+    assert np.max(np.abs(v_st - np.asarray(v_ref))) / scale_v < 1e-12
+
+
+def test_streamed_setup_westervelt_2d_uneven():
+    from fenicsxfus_tpu import WesterveltSpectralExplicit as W
+    from fenicsxfus_tpu.parallel.slab import build_sharded
+
+    L, Wd = 1.0, 0.4
+    grid = (7, 3)
+    args = dict(degree=3, delta0=1e-3, beta0=0.02, freq0=10.0, p0=1.0,
+                s0=1.0, rk_order=4, dt=4e-4, dtype=jnp.float64)
+
+    def tags(mesh):
+        return tag_boundaries(
+            mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > L - 1e-12}
+        )
+
+    def c0_of(mesh):
+        mids = mesh.cell_midpoints()
+        return 1.0 + 0.1 * np.sin(3.0 * mids[:, 0]) * np.cos(2.0 * mids[:, 1])
+
+    gmesh = tags(create_rectangle(grid, (0, 0), (L, Wd)))
+    gm = W(gmesh, None, c0=c0_of(gmesh), rho0=1.0, **args).init()
+    u_ref, v_ref, _ = ShardedExplicitSolver(gm, ndev=4).rk(0.0, 0.03)
+
+    def factory(local_mesh):
+        tags(local_mesh)
+        return W(local_mesh, None, c0=c0_of(local_mesh), rho0=1.0, **args)
+
+    solver = build_sharded(
+        factory, grid, (0.0, 0.0), (L, Wd), args["degree"], 4, jnp.float64
+    )
+    solver.rk(0.0, 0.03)
+    u_st, _ = solver.global_result()
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    assert np.max(np.abs(u_st - np.asarray(u_ref))) / scale < 1e-12
+
+
+def test_streamed_setup_implicit():
+    from fenicsxfus_tpu.parallel.slab import build_sharded
+
+    L = 1.0
+    ncells, ndev = 10, 4
+    args = dict(degree=3, c0=1.0, rho0=1.0, freq0=10.0, p0=1.0, s0=1.0,
+                rk_order=2, dt=2e-3, dtype=jnp.float64)
+
+    def tags(mesh):
+        return tag_boundaries(
+            mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > L - 1e-12}
+        )
+
+    gmesh = tags(create_interval(ncells, 0.0, L))
+    gm = LinearSpectralImplicit(gmesh, None, **args).init()
+    u_ref, _, _ = ShardedImplicitSolver(gm, ndev=ndev).dirk(0.0, 0.02)
+
+    def factory(local_mesh):
+        tags(local_mesh)
+        return LinearSpectralImplicit(local_mesh, None, **args)
+
+    solver = build_sharded(
+        factory, (ncells,), (0.0,), (L,), args["degree"], ndev, jnp.float64,
+        implicit=True,
+    )
+    solver.dirk(0.0, 0.02)
+    u_st, _ = solver.global_result()
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    assert np.max(np.abs(u_st - np.asarray(u_ref))) / scale < 1e-11
+
+
 def test_sharded_dirk_cg_stats_match_single_device():
     mesh = tagged(create_interval(8, 0.0, 1.0), 1.0)
 
