@@ -57,13 +57,6 @@ class BlockedAssembly:
     compile-time constants."""
 
     def __init__(self, space):
-        from ..core.conn import (
-            edge_canonical_pos,
-            face_canonical_pos,
-            local_edges_3d,
-            local_faces,
-        )
-
         self.space = space
         mesh = space.mesh
         d, N = mesh.dim, space.N
@@ -97,55 +90,17 @@ class BlockedAssembly:
             if m > 0:
                 ii = lattice[(slice(1, N - 1),) * d].reshape(-1)
                 self.P_I = jnp.asarray(_place_matrix(m**d, ii, nd))
-            # faces: per (local face, orientation code) a combined
-            # canonical→cell placement matrix [padw(mf), nd]
+            # faces / edges: loop extents for the hot path (the placement
+            # matrices live combined in G below; multi-orientation column
+            # perms in _multi_T)
             self.face_data = []
+            self.edge_data = []
             if d >= 2 and m > 0:
                 self.fids_j = jnp.asarray(conn.face_ids.astype(np.int32))
-                mf = m ** (d - 1)
-                wf = _padw(mf)
-                for k, (a, s, uv) in enumerate(local_faces(d)):
-                    cols = face_cols(a, s)
-                    o_arr = conn.face_orient[:, k]
-                    codes = sorted(int(c) for c in np.unique(o_arr))
-                    entries = []
-                    for o in codes:
-                        pos = (
-                            face_canonical_pos(m, o).reshape(-1)
-                            if d == 3
-                            else edge_canonical_pos(m, o)
-                        )
-                        M = jnp.asarray(_place_matrix(wf, cols, nd, perm=pos))
-                        if len(codes) == 1:
-                            mask = None
-                        else:
-                            mask = jnp.asarray(
-                                (o_arr == o).astype(np.float64).reshape(nc, 1)
-                            )
-                        entries.append((mask, M))
-                    self.face_data.append(entries)
-            # edges (3D)
-            self.edge_data = []
+                self.face_data = list(range(conn.face_ids.shape[1]))
             if d == 3 and m > 0:
                 self.eids_j = jnp.asarray(conn.edge_ids.astype(np.int32))
-                we = _padw(m)
-                for k, (a, fixed) in enumerate(local_edges_3d()):
-                    cols = edge_cols(a, fixed)
-                    fl = conn.edge_flip[:, k]
-                    codes = sorted(int(c) for c in np.unique(fl))
-                    entries = []
-                    for o in codes:
-                        pos = edge_canonical_pos(m, o)
-                        M = jnp.asarray(_place_matrix(we, cols, nd, perm=pos))
-                        mask = (
-                            None
-                            if len(codes) == 1
-                            else jnp.asarray(
-                                (fl == o).astype(np.float64).reshape(nc, 1)
-                            )
-                        )
-                        entries.append((mask, M))
-                    self.edge_data.append(entries)
+                self.edge_data = list(range(conn.edge_ids.shape[1]))
             # vertices: [VPAD, nd] placing table column 0 at the corner
             self.vert_P = []
             for v in range(2**d):
