@@ -1,0 +1,89 @@
+"""2D device-mesh (multi-axis) decomposition vs single-device equivalence.
+
+The corner columns of a (d0 x d1) block partition are shared by four
+devices; the sequential two-axis halo exchange must route the diagonal
+contributions exactly (parallel/grid.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenicsxfus_tpu import (
+    LinearSpectralExplicit,
+    LossySpectralExplicit,
+    WesterveltSpectralExplicit,
+    create_box,
+    create_rectangle,
+    tag_boundaries,
+)
+from fenicsxfus_tpu.parallel.grid import ShardedExplicitSolver2D
+
+
+def tagged(mesh, L):
+    return tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > L - 1e-12}
+    )
+
+
+def run_pair(make_model, dshape, t_end=0.04):
+    m1 = make_model()
+    m1.init()
+    u_ref, v_ref, _ = m1.rk(0.0, t_end)
+
+    m2 = make_model()
+    m2.init()
+    sharded = ShardedExplicitSolver2D(m2, dshape)
+    u_sh, v_sh, _ = sharded.rk(0.0, t_end)
+
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    err_u = np.max(np.abs(np.asarray(u_sh) - np.asarray(u_ref))) / scale
+    scale_v = np.max(np.abs(np.asarray(v_ref))) + 1e-300
+    err_v = np.max(np.abs(np.asarray(v_sh) - np.asarray(v_ref))) / scale_v
+    assert err_u < 1e-11, err_u
+    assert err_v < 1e-11, err_v
+
+
+@pytest.mark.parametrize("dshape", [(2, 2), (4, 2), (2, 4)])
+def test_grid2d_linear_2d(dshape):
+    def make():
+        mesh = tagged(create_rectangle((8, 8), (0, 0), (1.0, 1.0)), 1.0)
+        return LinearSpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 4e-4, dtype=jnp.float64
+        )
+
+    run_pair(make, dshape)
+
+
+def test_grid2d_uneven_both_axes():
+    def make():
+        mesh = tagged(create_rectangle((7, 5), (0, 0), (1.0, 0.8)), 1.0)
+        return LinearSpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 4e-4, dtype=jnp.float64
+        )
+
+    run_pair(make, (2, 4))
+
+
+def test_grid2d_westervelt_3d_heterogeneous():
+    def make():
+        mesh = tagged(create_box((6, 4, 3), (0, 0, 0), (1.0, 0.6, 0.4)), 1.0)
+        rng = np.random.default_rng(0)
+        c0 = 1.0 + 0.1 * rng.random(mesh.num_cells)
+        return WesterveltSpectralExplicit(
+            mesh, None, 3, c0, 1.0, 1e-4, 0.01, 10.0, 1.0, 1.0, 4, 4e-4,
+            dtype=jnp.float64,
+        )
+
+    run_pair(make, (2, 4))
+
+
+def test_grid2d_lossy_3d():
+    def make():
+        mesh = tagged(create_box((4, 4, 2), (0, 0, 0), (1.0, 1.0, 0.3)), 1.0)
+        return LossySpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, 1e-3, 10.0, 1.0, 1.0, 4, 3e-4,
+            dtype=jnp.float64,
+        )
+
+    run_pair(make, (2, 2))
