@@ -67,10 +67,15 @@ def _banded_k1(cells: int, p: int) -> np.ndarray:
     return B
 
 
-def _chunk_cells(p: int, cap: int = 120) -> int:
+def _chunk_cells(p: int, cap: int | None = None) -> int:
     """Cells per full chunk: largest m ≤ cap with m % p == 0 and m % 8 == 0
     (8-aligned value slices, contraction width m+1 just under the 128-lane
-    MXU tile), returned as cells = m/p."""
+    MXU tile), returned as cells = m/p. FUS_CHUNK_CAP overrides the cap for
+    per-degree tuning sweeps."""
+    import os
+
+    if cap is None:
+        cap = int(os.environ.get("FUS_CHUNK_CAP", "120"))
     best = p  # at least one cell
     for m in range(p, cap + 1, p):
         if m % 8 == 0:
