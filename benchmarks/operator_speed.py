@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def main(dofs=38.3e6):
+def main(dofs=38.3e6, degrees=(2, 3, 4, 5, 6)):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,7 +56,7 @@ def main(dofs=38.3e6):
         f"{'p':>2} {'DOFs':>10} {'stiff':>9} {'stiff-het':>10} {'mass':>9} "
         f"{'GDOF/s (K)':>11}"
     )
-    for degree in [2, 3, 4, 5, 6]:
+    for degree in degrees:
         nx = max(int(round(dofs ** (1 / 3) / degree)), 2)
         mesh = create_box((nx, nx, nx), (0, 0, 0), (0.12, 0.12, 0.12))
         ops = SEMOperators(mesh, degree, dtype=jnp.float32)
@@ -84,4 +84,6 @@ def main(dofs=38.3e6):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--dofs", type=float, default=38.3e6)
-    main(**vars(ap.parse_args()))
+    ap.add_argument("--degrees", type=str, default="2,3,4,5,6")
+    args = ap.parse_args()
+    main(dofs=args.dofs, degrees=tuple(int(x) for x in args.degrees.split(",")))
