@@ -332,7 +332,10 @@ class SEMOperators:
             if enable:
                 from .pallas_lattice import LatticePallasStiffness
 
-                pk = LatticePallasStiffness(self.lattice, interpret=not on_tpu)
+                tc = int(os.environ.get("FUS_TILE_COLS", "512"))
+                pk = LatticePallasStiffness(
+                    self.lattice, tile_cols=tc, interpret=not on_tpu
+                )
                 self._pallas2_obj = pk if pk.usable() else None
             else:
                 self._pallas2_obj = None

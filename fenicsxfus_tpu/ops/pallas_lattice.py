@@ -68,17 +68,20 @@ def _banded_k1(cells: int, p: int) -> np.ndarray:
 
 
 def _chunk_cells(p: int, cap: int | None = None) -> int:
-    """Cells per full chunk: largest m ≤ cap with m % p == 0 and m % 8 == 0
-    (8-aligned value slices, contraction width m+1 just under the 128-lane
-    MXU tile), returned as cells = m/p. FUS_CHUNK_CAP overrides the cap for
-    per-degree tuning sweeps."""
+    """Cells per full chunk, returned as cells = m/p for the largest lattice
+    span m with m % p == 0 and m % 8 == 0 (8-aligned value slices) such that
+    BOTH matmul dims fit a single MXU tile: contraction width m+1 ≤ 128 AND
+    output rows cells·N = m + m/p ≤ 128. Swept on v5e at p=4/38.3M DOF:
+    m=96 (both single-tile) 3.70 ms vs m=120 (rows spill to 2 tiles)
+    3.97 ms vs m=240 4.81 ms. FUS_CHUNK_CAP overrides for sweeps."""
     import os
 
+    env = os.environ.get("FUS_CHUNK_CAP")
     if cap is None:
-        cap = int(os.environ.get("FUS_CHUNK_CAP", "120"))
+        cap = int(env) if env else min(120, (128 * p) // (p + 1))
     best = p  # at least one cell
     for m in range(p, cap + 1, p):
-        if m % 8 == 0:
+        if m % 8 == 0 and (env or (m + m // p) <= 128):
             best = m
     return max(best // p, 1)
 

@@ -1,22 +1,24 @@
-"""Multi-axis SPMD domain decomposition over a 2D device mesh.
+"""Multi-axis SPMD domain decomposition over a 2D/3D device mesh.
 
 Generalizes the 1D slab decomposition (``parallel/slab.py``) to a
-(d0 × d1) ``jax.sharding.Mesh``: the structured mesh is split into
-contiguous blocks along axes 0 AND 1 — the arbitrary-partition analogue of
-the reference's mesh partitioner (``cpp/fenicsx-sf/tests/test_operators3d/
-main.cpp:31`` ``create_cell_partitioner``), needed when the domain is not
-elongated along one axis.
+(d0 × d1[ × d2]) ``jax.sharding.Mesh``: the structured mesh is split into
+contiguous blocks along the leading mesh axes — the arbitrary-partition
+analogue of the reference's mesh partitioner
+(``cpp/fenicsx-sf/tests/test_operators3d/main.cpp:31``
+``create_cell_partitioner``), needed when the domain is not elongated
+along one axis.
 
 Same replicated-interface design as the slabs: interface DOF planes are
 replicated on all touching devices; per-stage communication is completing
-the additive stiffness assembly. With two partition axes the corner
-columns are shared by FOUR devices — completion runs as two *sequential*
-ppermute exchanges (axis-0 planes first, then axis-1 planes of the
-already-summed values), which routes the diagonal-neighbour contributions
-through the two-hop path, so no dedicated corner exchange is needed.
+the additive stiffness assembly. Edge columns / corner points of the block
+partition are shared by 4 / 8 devices — completion runs as SEQUENTIAL
+per-axis ppermute exchanges (each exchange operates on the sums produced
+by the previous one), which routes every diagonal-neighbour contribution
+through a multi-hop axis-aligned path, so no dedicated corner exchange is
+needed.
 
-Cell counts need not divide the device counts (per-axis inert padding,
-as in the 1D slabs).
+Cell counts need not divide the device counts (per-axis inert padding, as
+in the 1D slabs).
 """
 
 from __future__ import annotations
@@ -32,175 +34,169 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.common import explicit_tables, step_sizes
 from ..ops.operators import SEMOperators
 
-AX0, AX1 = "x", "y"
+AXES = ("x", "y", "z")
 
 
-class Halo2DSEMOperators(SEMOperators):
+class HaloNDSEMOperators(SEMOperators):
     """Local-block operators whose assembly ``complete`` hook exchanges
-    interface planes along BOTH partition axes (sequentially — the second
-    exchange carries the corner sums)."""
+    interface planes along every partition axis (sequentially — later
+    exchanges carry the edge/corner sums)."""
 
-    def configure_halo(self, d0, d1, L0, L1, rest):
-        self._d0, self._d1 = d0, d1
-        self._L0, self._L1, self._rest = L0, L1, rest
+    def configure_halo(self, dshape, Ls, rest):
+        self._dshape = tuple(dshape)
+        self._Ls = tuple(Ls)
+        self._rest = rest
 
     def complete(self, y):
-        d0, d1 = self._d0, self._d1
-        L0, L1, rest = self._L0, self._L1, self._rest
-        y3 = y.reshape(L0, L1, rest)
-        if d0 > 1:
-            fwd = [(i, i + 1) for i in range(d0 - 1)]
-            bwd = [(i + 1, i) for i in range(d0 - 1)]
-            from_left = jax.lax.ppermute(y3[-1], AX0, fwd)
-            from_right = jax.lax.ppermute(y3[0], AX0, bwd)
-            y3 = y3.at[0].add(from_left).at[-1].add(from_right)
-        if d1 > 1:
-            fwd = [(i, i + 1) for i in range(d1 - 1)]
-            bwd = [(i + 1, i) for i in range(d1 - 1)]
-            from_down = jax.lax.ppermute(y3[:, -1], AX1, fwd)
-            from_up = jax.lax.ppermute(y3[:, 0], AX1, bwd)
-            y3 = y3.at[:, 0].add(from_down).at[:, -1].add(from_up)
+        dshape, Ls, rest = self._dshape, self._Ls, self._rest
+        y3 = y.reshape(Ls + (rest,))
+        for ax, (dn, axis_name) in enumerate(zip(dshape, AXES)):
+            if dn <= 1:
+                continue
+            fwd = [(i, i + 1) for i in range(dn - 1)]
+            bwd = [(i + 1, i) for i in range(dn - 1)]
+            lo = (slice(None),) * ax + (0,)
+            hi = (slice(None),) * ax + (-1,)
+            from_prev = jax.lax.ppermute(y3[hi], axis_name, fwd)
+            from_next = jax.lax.ppermute(y3[lo], axis_name, bwd)
+            y3 = y3.at[lo].add(from_prev).at[hi].add(from_next)
         return y3.reshape(-1)
 
 
 class GridDecomposition:
-    """Block partition of a uniform structured mesh over a (d0, d1) device
-    grid (axes 0 and 1 of the mesh)."""
+    """Block partition of a uniform structured mesh over a (d0, d1[, d2])
+    device grid (leading axes of the mesh)."""
 
     def __init__(self, mesh, degree: int, dshape, dtype):
         if mesh.grid_shape is None:
             raise ValueError("grid decomposition needs a structured mesh")
         n = mesh.grid_shape
         dim = len(n)
-        if dim < 2:
-            raise ValueError("2D device meshes need a >=2D problem")
-        d0, d1 = dshape
-        self.d0, self.d1 = d0, d1
-        self.ndev = d0 * d1
+        dshape = tuple(dshape)
+        na = len(dshape)
+        if na > dim:
+            raise ValueError("more device-mesh axes than mesh axes")
+        self.na = na
+        self.dshape = dshape
+        self.ndev = int(np.prod(dshape))
         self.dtype = dtype
         p = degree
-        self.nxl = [-(-n[0] // d0), -(-n[1] // d1)]  # per-axis ceil
+        self.nxl = [-(-n[a] // dshape[a]) for a in range(na)]
         self.grid = tuple(n)
-        gdims = tuple(na * p + 1 for na in n)
+        gdims = tuple(nn * p + 1 for nn in n)
         self.gdims = gdims
-        self.L0 = self.nxl[0] * p + 1
-        self.L1 = self.nxl[1] * p + 1
-        self.G0, self.G1 = gdims[0], gdims[1]
-        self.rest = int(np.prod(gdims[2:])) if dim > 2 else 1
-        self.cells_rest = int(np.prod(n[2:])) if dim > 2 else 1
-        self.cells_per_dev = self.nxl[0] * self.nxl[1] * self.cells_rest
+        self.Ls = tuple(self.nxl[a] * p + 1 for a in range(na))
+        self.Gs = tuple(gdims[a] for a in range(na))
+        self.rest = int(np.prod(gdims[na:])) if dim > na else 1
+        self.cells_rest = int(np.prod(n[na:])) if dim > na else 1
+        self.cells_per_dev = int(np.prod(self.nxl)) * self.cells_rest
 
         lo = mesh.vertices.min(axis=0)
         hi = mesh.vertices.max(axis=0)
-        h0 = (hi[0] - lo[0]) / n[0]
-        h1 = (hi[1] - lo[1]) / n[1]
+        self.h = [(hi[a] - lo[a]) / n[a] for a in range(na)]
         lo_l, hi_l = lo.copy(), hi.copy()
-        hi_l[0] = lo[0] + self.nxl[0] * h0
-        hi_l[1] = lo[1] + self.nxl[1] * h1
+        for a in range(na):
+            hi_l[a] = lo[a] + self.nxl[a] * self.h[a]
         from ..core.mesh import _structured
 
         local = _structured(
-            (self.nxl[0], self.nxl[1]) + tuple(n[2:]), tuple(lo_l), tuple(hi_l)
+            tuple(self.nxl) + tuple(n[na:]), tuple(lo_l), tuple(hi_l)
         )
         self.local_mesh = local
-        self.ops = Halo2DSEMOperators(local, degree, dtype)
-        self.ops.configure_halo(d0, d1, self.L0, self.L1, self.rest)
+        self.ops = HaloNDSEMOperators(local, degree, dtype)
+        self.ops.configure_halo(dshape, self.Ls, self.rest)
         self.local_ndofs = self.ops.ndofs
-        assert self.local_ndofs == self.L0 * self.L1 * self.rest
+        assert self.local_ndofs == int(np.prod(self.Ls)) * self.rest
 
+        self.axis_names = AXES[:na]
         self.jmesh = JMesh(
-            np.array(jax.devices()[: self.ndev]).reshape(d0, d1), (AX0, AX1)
+            np.array(jax.devices()[: self.ndev]).reshape(dshape),
+            self.axis_names,
         )
-        # stacked arrays [d0*d1, ...]: leading axis sharded over BOTH mesh
+        # stacked arrays [ndev, ...]: leading axis sharded over ALL mesh
         # axes (row-major device order matches the block order below)
-        self.sharding = NamedSharding(self.jmesh, P((AX0, AX1)))
+        self.sharding = NamedSharding(self.jmesh, P(self.axis_names))
 
     # ---- global <-> stacked --------------------------------------------
-    def _pad_global(self, arr3, pad_value):
-        """[G0, G1, rest] → padded [G0p, G1p, rest]."""
-        p = (self.L0 - 1) // self.nxl[0]
-        G0p = self.nxl[0] * self.d0 * p + 1
-        G1p = self.nxl[1] * self.d1 * p + 1
-        out = np.full((G0p, G1p, self.rest), pad_value, arr3.dtype)
-        out[: self.G0, : self.G1] = arr3
+    def _padded_gdims(self):
+        p = (self.Ls[0] - 1) // self.nxl[0]
+        return tuple(
+            self.nxl[a] * self.dshape[a] * p + 1 for a in range(self.na)
+        )
+
+    def _pad_global(self, arr, pad_value):
+        """[G0, .., G_{na-1}, rest] → per-axis padded array."""
+        Gp = self._padded_gdims()
+        out = np.full(Gp + (self.rest,), pad_value, arr.dtype)
+        out[tuple(slice(0, g) for g in self.Gs)] = arr
         return out
 
+    def _block_slices(self, didx):
+        return tuple(
+            slice(didx[a] * (self.Ls[a] - 1),
+                  didx[a] * (self.Ls[a] - 1) + self.Ls[a])
+            for a in range(self.na)
+        )
+
     def to_stacked(self, vec, pad_value: float = 0.0) -> jnp.ndarray:
-        arr = np.asarray(vec).reshape(self.G0, self.G1, self.rest)
+        arr = np.asarray(vec).reshape(self.Gs + (self.rest,))
         arr = self._pad_global(arr, pad_value)
-        s0, s1 = self.L0 - 1, self.L1 - 1
-        blocks = []
-        for i in range(self.d0):
-            for j in range(self.d1):
-                blocks.append(
-                    arr[i * s0 : i * s0 + self.L0, j * s1 : j * s1 + self.L1]
-                    .reshape(-1)
-                )
+        blocks = [
+            arr[self._block_slices(didx)].reshape(-1)
+            for didx in np.ndindex(*self.dshape)
+        ]
         return jax.device_put(
             jnp.asarray(np.stack(blocks), self.dtype), self.sharding
         )
 
     def from_stacked(self, stacked) -> np.ndarray:
         s = np.asarray(stacked).reshape(
-            self.d0, self.d1, self.L0, self.L1, self.rest
+            self.dshape + tuple(self.Ls) + (self.rest,)
         )
-        rows = []
-        for i in range(self.d0):
-            cols = []
-            for j in range(self.d1):
-                blk = s[i, j]
-                if i > 0:
-                    blk = blk[1:]
-                if j > 0:
-                    blk = blk[:, 1:]
-                cols.append(blk)
-            rows.append(np.concatenate(cols, axis=1))
-        full = np.concatenate(rows, axis=0)
-        return full[: self.G0, : self.G1].reshape(-1)
+        Gp = self._padded_gdims()
+        full = np.zeros(Gp + (self.rest,), s.dtype)
+        for didx in np.ndindex(*self.dshape):
+            full[self._block_slices(didx)] = s[didx]
+        return full[tuple(slice(0, g) for g in self.Gs)].reshape(-1)
 
     def _pad_cells(self, arr_cells, pad_value=0.0):
-        """Global cell array [Nc] → per-device blocks
-        [ndev, cells_per_dev] (axis-0/1 padding with ``pad_value``)."""
+        """Global cell array [Nc] → per-device blocks [ndev, cells_per_dev]."""
         n = self.grid
-        a = np.asarray(arr_cells).reshape(n[0], n[1], self.cells_rest)
-        n0p = self.nxl[0] * self.d0
-        n1p = self.nxl[1] * self.d1
-        full = np.full((n0p, n1p, self.cells_rest), pad_value, a.dtype)
-        full[: n[0], : n[1]] = a
+        na = self.na
+        a = np.asarray(arr_cells).reshape(tuple(n[:na]) + (self.cells_rest,))
+        np_shape = tuple(self.nxl[x] * self.dshape[x] for x in range(na))
+        full = np.full(np_shape + (self.cells_rest,), pad_value, a.dtype)
+        full[tuple(slice(0, n[x]) for x in range(na))] = a
         blocks = []
-        for i in range(self.d0):
-            for j in range(self.d1):
-                blocks.append(
-                    full[
-                        i * self.nxl[0] : (i + 1) * self.nxl[0],
-                        j * self.nxl[1] : (j + 1) * self.nxl[1],
-                    ].reshape(-1)
-                )
+        for didx in np.ndindex(*self.dshape):
+            sl = tuple(
+                slice(didx[x] * self.nxl[x], (didx[x] + 1) * self.nxl[x])
+                for x in range(na)
+            )
+            blocks.append(full[sl].reshape(-1))
         return np.stack(blocks)
 
     def dot_weights(self) -> jnp.ndarray:
         """[ndev, local_ndofs] weights: 1/(number of replicas) per DOF
-        (1/2 on partition planes, 1/4 on corner columns), 0 on padding."""
-        w = np.ones((self.d0, self.d1, self.L0, self.L1, self.rest))
-        s0, s1 = self.L0 - 1, self.L1 - 1
-        for i in range(self.d0):
-            for j in range(self.d1):
-                if i > 0:
-                    w[i, j, 0] *= 0.5
-                if i < self.d0 - 1:
-                    w[i, j, -1] *= 0.5
-                if j > 0:
-                    w[i, j, :, 0] *= 0.5
-                if j < self.d1 - 1:
-                    w[i, j, :, -1] *= 0.5
-                for r in range(self.L0):
-                    if i * s0 + r >= self.G0:
-                        w[i, j, r] = 0.0
-                for c in range(self.L1):
-                    if j * s1 + c >= self.G1:
-                        w[i, j, :, c] = 0.0
+        (1/2 per shared plane, multiplicative at edges/corners), 0 on
+        padding."""
+        w_all = []
+        for didx in np.ndindex(*self.dshape):
+            w = np.ones(tuple(self.Ls) + (self.rest,))
+            for a in range(self.na):
+                lo = (slice(None),) * a + (0,)
+                hi = (slice(None),) * a + (-1,)
+                if didx[a] > 0:
+                    w[lo] *= 0.5
+                if didx[a] < self.dshape[a] - 1:
+                    w[hi] *= 0.5
+                # zero padding rows beyond the true extent
+                for r in range(self.Ls[a]):
+                    if didx[a] * (self.Ls[a] - 1) + r >= self.Gs[a]:
+                        w[(slice(None),) * a + (r,)] = 0.0
+            w_all.append(w.reshape(-1))
         return jax.device_put(
-            jnp.asarray(w.reshape(self.ndev, -1), self.dtype), self.sharding
+            jnp.asarray(np.stack(w_all), self.dtype), self.sharding
         )
 
     def shard_consts(self, consts, global_ndofs, global_ncells,
@@ -244,14 +240,14 @@ class GridDecomposition:
                 continue
             if k in nodal_stiff_keys:
                 raise NotImplementedError(
-                    "nodal stiffness coefficients on 2D device meshes: use "
-                    "the 1D slab decomposition"
+                    "nodal stiffness coefficients on multi-axis device "
+                    "meshes: use the 1D slab decomposition"
                 )
             if np.isscalar(val) or getattr(val, "ndim", 0) == 0:
                 out[k] = val
             elif isinstance(val, (tuple, list, dict)):
                 raise ValueError(
-                    f"const {k!r}: declare in STIFF_KEYS so the 2D "
+                    f"const {k!r}: declare in STIFF_KEYS so the grid "
                     "decomposition can re-pack it per device"
                 )
             elif val.shape == (global_ndofs,):
@@ -274,22 +270,26 @@ def _local_consts(consts):
     )
 
 
+def _model_shard_kwargs(model):
+    return dict(
+        stiff_keys=getattr(type(model), "STIFF_KEYS", ()),
+        raw_stiff=getattr(model, "raw_stiff", None),
+        nodal_stiff_keys=getattr(type(model), "NODAL_STIFF_KEYS", ()),
+        raw_nodal=getattr(model, "raw_nodal", None),
+        pad_one=getattr(type(model), "PAD_ONE_KEYS", ()),
+    )
+
+
 class ShardedExplicitSolver2D:
-    """Explicit-RK solver over a (d0, d1) device mesh — the multi-axis
+    """Explicit-RK solver over a multi-axis device mesh — the 2D/3D
     counterpart of ``slab.ShardedExplicitSolver``."""
 
     def __init__(self, model, dshape):
         self.model = model
         self.dec = GridDecomposition(model.mesh, model.degree, dshape, model.dtype)
         self.consts = self.dec.shard_consts(
-            model.consts,
-            model.ops.ndofs,
-            model.mesh.num_cells,
-            stiff_keys=getattr(type(model), "STIFF_KEYS", ()),
-            raw_stiff=getattr(model, "raw_stiff", None),
-            nodal_stiff_keys=getattr(type(model), "NODAL_STIFF_KEYS", ()),
-            raw_nodal=getattr(model, "raw_nodal", None),
-            pad_one=getattr(type(model), "PAD_ONE_KEYS", ()),
+            model.consts, model.ops.ndofs, model.mesh.num_cells,
+            **_model_shard_kwargs(model),
         )
         self.rhs_pure = type(model).rhs_pure
         self._run = None
@@ -322,15 +322,16 @@ class ShardedExplicitSolver2D:
             )
             return u[None], v[None], t
 
+        names = dec.axis_names
         spec_consts = jax.tree.map(
-            lambda x: P((AX0, AX1)) if getattr(x, "ndim", 0) >= 1 else P(),
+            lambda x: P(names) if getattr(x, "ndim", 0) >= 1 else P(),
             self.consts,
         )
         sharded = jax.shard_map(
             local_run,
             mesh=dec.jmesh,
-            in_specs=(spec_consts, P((AX0, AX1)), P((AX0, AX1)), P(), P()),
-            out_specs=(P((AX0, AX1)), P((AX0, AX1)), P()),
+            in_specs=(spec_consts, P(names), P(names), P(), P()),
+            out_specs=(P(names), P(names), P()),
             check_vma=False,
         )
         self._run = jax.jit(sharded)
@@ -347,6 +348,113 @@ class ShardedExplicitSolver2D:
         us, vs, t = run_segmented(
             self._run, self.consts, u, v, t0, dts, model.dtype
         )
+        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
+        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
+        model.t = t0 + float(np.sum(dts))
+        return model.u_n, model.v_n, model.t
+
+
+class ShardedImplicitSolverND:
+    """SDIRK solver over a multi-axis device mesh (psum-weighted CG dots;
+    see ``slab.ShardedImplicitSolver`` for the 1D variant)."""
+
+    def __init__(self, model, dshape):
+        self.model = model
+        self.dec = GridDecomposition(model.mesh, model.degree, dshape, model.dtype)
+        kw = _model_shard_kwargs(model)
+        kw["pad_one"] = tuple(kw["pad_one"]) or ("m",)
+        self.consts = self.dec.shard_consts(
+            model.consts, model.ops.ndofs, model.mesh.num_cells, **kw
+        )
+        self.weights = self.dec.dot_weights()
+        self._run = None
+
+    def _build(self):
+        from ..ops.cg import cg_solve
+
+        dec, model = self.dec, self.model
+        ops = dec.ops
+        cls = type(model)
+        A_tab, b_tab, c_tab = model.A_tab, model.b_tab, model.c_tab
+        n = len(b_tab)
+        rtol, maxiter = model.cg_rtol, model.cg_maxiter
+        names = dec.axis_names
+
+        def psum_all(x):
+            for nm in names:
+                x = jax.lax.psum(x, nm)
+            return x
+
+        def local_step(consts, w, carry, dtn):
+            u0, v0, t = carry
+            tau = dtn * A_tab[0, 0]
+            dinv = 1.0 / cls.lhs_diag_pure(ops, consts, tau)
+            dot = lambda x, y: psum_all(jnp.sum(w * x * y))
+            kus, kvs = [], []
+            u_acc, v_acc = u0, v0
+            it_max = jnp.zeros((), jnp.int32)
+            res_max = jnp.zeros((), v0.dtype)
+            for i in range(n):
+                un, vn = u0, v0
+                for j in range(i):
+                    un = un + (A_tab[i, j] * dtn) * kus[j]
+                    vn = vn + (A_tab[i, j] * dtn) * kvs[j]
+                tn = t + c_tab[i] * dtn
+                b = cls.rhs_stage(ops, consts, tau, tn, un, vn)
+                x0 = kvs[-1] if kvs else jnp.zeros_like(v0)
+                kv, (it, res2) = cg_solve(
+                    lambda x: cls.lhs_pure(ops, consts, tau, x), b, x0, dinv,
+                    rtol=rtol, maxiter=maxiter, dot=dot,
+                )
+                it_max = jnp.maximum(it_max, it)
+                res_max = jnp.maximum(res_max, res2.astype(v0.dtype))
+                ku = vn + tau * kv
+                kus.append(ku)
+                kvs.append(kv)
+                u_acc = u_acc + (b_tab[i] * dtn) * ku
+                v_acc = v_acc + (b_tab[i] * dtn) * kv
+            stats = jnp.stack([it_max.astype(v0.dtype), res_max])
+            return (u_acc, v_acc, t + dtn), stats
+
+        def local_run(consts, w, u, v, t0, dts):
+            consts = _local_consts(consts)
+            u, v, w = u[0], v[0], w[0]
+            (u, v, t), stats = jax.lax.scan(
+                partial(local_step, consts, w), (u, v, t0), dts
+            )
+            return u[None], v[None], t, stats
+
+        spec_consts = jax.tree.map(
+            lambda x: P(names) if getattr(x, "ndim", 0) >= 1 else P(),
+            self.consts,
+        )
+        sharded = jax.shard_map(
+            local_run,
+            mesh=dec.jmesh,
+            in_specs=(spec_consts, P(names), P(names), P(names), P(), P()),
+            out_specs=(P(names), P(names), P(), P()),
+            check_vma=False,
+        )
+        self._run = jax.jit(sharded)
+
+    def dirk(self, t0: float, tf: float):
+        from ..models.common import run_segmented
+
+        if self._run is None:
+            self._build()
+        dec, model = self.dec, self.model
+        u = dec.to_stacked(model.u_n)
+        v = dec.to_stacked(model.v_n)
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, stats = run_segmented(
+            lambda c, uu, vv, tt, seg: self._run(c, self.weights, uu, vv, tt, seg),
+            self.consts, u, v, t0, dts, model.dtype, collect_ys=True,
+        )
+        st = np.asarray(stats).reshape(-1, 2)
+        model.cg_stats = {
+            "max_iterations": int(np.max(st[:, 0])),
+            "max_residual2": float(np.max(st[:, 1])),
+        }
         model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
         model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
         model.t = t0 + float(np.sum(dts))

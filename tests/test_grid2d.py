@@ -87,3 +87,36 @@ def test_grid2d_lossy_3d():
         )
 
     run_pair(make, (2, 2))
+
+
+def test_grid3d_linear_3d():
+    """3-axis device mesh: corner points shared by 8 devices complete via
+    three sequential exchanges."""
+
+    def make():
+        mesh = tagged(create_box((4, 4, 3), (0, 0, 0), (1.0, 1.0, 0.7)), 1.0)
+        return LinearSpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 4, 3e-4, dtype=jnp.float64
+        )
+
+    run_pair(make, (2, 2, 2))
+
+
+def test_gridnd_implicit_2d():
+    from fenicsxfus_tpu import LinearSpectralImplicit
+    from fenicsxfus_tpu.parallel.grid import ShardedImplicitSolverND
+
+    def make():
+        mesh = tagged(create_rectangle((6, 5), (0, 0), (1.0, 0.8)), 1.0)
+        return LinearSpectralImplicit(
+            mesh, None, 3, 1.0, 1.0, 10.0, 1.0, 1.0, 2, 1e-3, dtype=jnp.float64
+        )
+
+    m1 = make().init()
+    u_ref, _, _ = m1.dirk(0.0, 0.02)
+    m2 = make().init()
+    s = ShardedImplicitSolverND(m2, (2, 4))
+    u_sh, _, _ = s.dirk(0.0, 0.02)
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    assert np.max(np.abs(np.asarray(u_sh) - np.asarray(u_ref))) / scale < 1e-11
+    assert m2.cg_stats["max_iterations"] >= 1
