@@ -116,6 +116,113 @@ def build_model(kind: str, tx: str, medium: str, nx: int, degree: int = 4,
     return model, h, dt, spp
 
 
+def build_bowl_model(kind: str, tx: str, medium: str, nx: int,
+                     degree: int = 4, f0: float | None = None,
+                     cfl: float = 0.3, dtype=None, linear: bool = False):
+    """Like ``build_model`` but on a TRUE bowl-fitted mesh
+    (``core/bowl.py``): the transducer is the set of curved facets of the
+    spherical cap, driven with a plain uniform source — no phasing, no
+    obliquity weighting; focusing comes from the geometry exactly as in
+    the reference's gmsh meshes
+    (``cpp/fenicsx-sf-fastor/benchmarks/HITU/W-H101-WATER/main.cpp:33-52``).
+    The deformed cells run the general-geometry operator path."""
+    import jax.numpy as jnp
+
+    from fenicsxfus_tpu import WesterveltSpectralExplicit
+    from fenicsxfus_tpu.core.bowl import create_bowl_box
+
+    dtype = dtype or jnp.float32
+    g = TRANSDUCERS[tx]
+    m = MEDIA[medium]
+    f0 = f0 or F0_FULL
+    c0, rho0 = m["c0"], m["rho0"]
+    u0 = SOURCE_VELOCITY[(kind, tx, medium)]
+    p0 = rho0 * c0 * u0
+    w0 = 2 * np.pi * f0
+    alphaNp = m["att_dB"] / 20 * np.log(10)
+    delta0 = 0.0 if linear else 2 * alphaNp * c0**3 / w0**2
+    beta0 = 0.0 if (linear or kind == "V") else m["beta"]
+
+    L, W = g["L"], g["W"]
+    h = L / nx
+    nyz = max(int(round(W / h)), 2)
+    mesh, focus = create_bowl_box(
+        (nx, nyz, nyz), (0.0, -W / 2, -W / 2), (L, W / 2, W / 2),
+        g["roc"], g["a"],
+    )
+
+    # CFL on the true (snapped/deformed) minimum edge, rounded to integer
+    # steps per period (reference main.cpp:108-111)
+    dt_cfl = cfl * mesh.h_min() / (c0 * degree**2)
+    spp = int(1 / f0 / dt_cfl) + 1
+    dt = 1 / f0 / spp
+
+    model = WesterveltSpectralExplicit(
+        mesh, None, degree, c0, rho0, delta0, beta0, f0, p0, c0, 4, dt,
+        dtype=dtype,
+    )
+    model.init()
+    return model, h, dt, spp
+
+
+def validate_bowl_mesh(tx: str = "H101", f0: float = 0.35e6, nx: int = 48,
+                       degree: int = 4, out: str | None = None, dtype=None):
+    """Linear (β=δ=0) run on the bowl-FITTED mesh vs the O'Neil (1949)
+    axial solution — validates the curved-facet transducer geometry
+    end-to-end (the phased-aperture counterpart is ``validate_oneil``)."""
+    import time
+
+    from fenicsxfus_tpu.analysis.analytical import oneil_axial_amplitude
+
+    model, h, dt, spp = build_bowl_model(
+        "W", tx, "WATER", nx, degree=degree, f0=f0, dtype=dtype, linear=True
+    )
+    g = TRANSDUCERS[tx]
+    c0 = MEDIA["WATER"]["c0"]
+    rho0 = MEDIA["WATER"]["rho0"]
+    p0 = rho0 * c0 * SOURCE_VELOCITY[("W", tx, "WATER")]
+    L = g["L"]
+    tf = L / c0 + 10.0 / f0
+    ndofs = model.number_of_dofs()
+    lam = c0 / f0
+    print(f"O'Neil bowl-mesh validation {tx}: f0={f0/1e6:.2f} MHz  "
+          f"p={degree}  {lam/h:.2f} elems/wavelength  DOFs={ndofs/1e6:.2f}M  "
+          f"dt={dt:.3e}")
+    pts = axial_points(tx)
+    t0 = time.perf_counter()
+    u, v, t, times, ys = model.rk_record(0.0, tf, pts)
+    elapsed = time.perf_counter() - t0
+    amp = steady_amplitude(times, ys, f0)
+    x = pts[0]
+    k = 2 * np.pi * f0 / c0
+    # rim plane at x=0: O'Neil's axial coordinate (from the apex) is
+    # x + bowl depth
+    h_depth = g["roc"] - np.sqrt(g["roc"] ** 2 - g["a"] ** 2)
+    ref = oneil_axial_amplitude(x + h_depth, g["a"], g["roc"], k, p0)
+    i_pk = int(np.argmax(amp))
+    i_rf = int(np.argmax(ref))
+    gain_err = abs(amp[i_pk] - ref[i_rf]) / ref[i_rf]
+    pos_err = abs(x[i_pk] - x[i_rf])
+    focal = np.abs(x - x[i_rf]) < 7 * lam
+    prof_err = np.linalg.norm((amp - ref)[focal]) / np.linalg.norm(ref[focal])
+    print(f"  solve {elapsed:.1f} s | focal |p|: model {amp[i_pk]/1e3:.1f} kPa "
+          f"@ {x[i_pk]*1e3:.2f} mm, O'Neil {ref[i_rf]/1e3:.1f} kPa "
+          f"@ {x[i_rf]*1e3:.2f} mm")
+    print(f"  focal-gain error {gain_err*100:.2f}%  position error "
+          f"{pos_err*1e3:.2f} mm  focal-region L2 {prof_err*100:.2f}%")
+    if out:
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        np.savez_compressed(
+            out, x=x, amplitude=amp, oneil=ref,
+            meta=json.dumps({"tx": tx, "f0": f0, "nx": nx, "degree": degree,
+                             "gain_err": gain_err, "pos_err_mm": pos_err * 1e3,
+                             "profile_err": prof_err, "ndofs": int(ndofs),
+                             "mesh": "bowl-fitted"}),
+        )
+        print(f"  wrote {out}")
+    return gain_err, pos_err, prof_err
+
+
 def axial_points(tx: str, n: int = 161):
     L = TRANSDUCERS[tx]["L"]
     x = np.linspace(0.0, L, n)

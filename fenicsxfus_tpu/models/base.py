@@ -337,7 +337,7 @@ class ImplicitModelBase(SpectralModelBase):
 
         def step(consts, carry, dtn):
             u0, v0, t = carry
-            tau = dtn * A_tab[0, 0]
+            tau = dtn * A_tab[0][0]
             dinv = 1.0 / cls.lhs_diag_pure(ops, consts, tau)
             kus, kvs = [], []
             u_acc, v_acc = u0, v0
@@ -346,8 +346,8 @@ class ImplicitModelBase(SpectralModelBase):
             for i in range(n):
                 un, vn = u0, v0
                 for j in range(i):
-                    un = un + (A_tab[i, j] * dtn) * kus[j]
-                    vn = vn + (A_tab[i, j] * dtn) * kvs[j]
+                    un = un + (A_tab[i][j] * dtn) * kus[j]
+                    vn = vn + (A_tab[i][j] * dtn) * kvs[j]
                 tn = t + c_tab[i] * dtn
                 b = cls.rhs_stage(ops, consts, tau, tn, un, vn)
                 x0 = kvs[-1] if kvs else jnp.zeros_like(v0)

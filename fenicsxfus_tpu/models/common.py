@@ -23,65 +23,61 @@ def explicit_tables(order: int):
 
     These schemes use only the previous stage slope, encoded as a vector
     ``a`` (stage shift multiplies k_{i-1}) exactly like the reference.
+
+    Returned as tuples of PYTHON floats: a np.float64 scalar coefficient
+    would promote fp32 fields to fp64 inside jit when x64 is enabled,
+    breaking the scan carry dtype.
     """
     if order == 1:
-        return np.array([0.0]), np.array([1.0]), np.array([0.0])
+        return (0.0,), (1.0,), (0.0,)
     if order == 2:
-        return (
-            np.array([0.0, 2 / 3]),
-            np.array([1 / 4, 3 / 4]),
-            np.array([0.0, 2 / 3]),
-        )
+        return (0.0, 2 / 3), (1 / 4, 3 / 4), (0.0, 2 / 3)
     if order == 3:
-        return (
-            np.array([0.0, 1 / 2, 3 / 4]),
-            np.array([2 / 9, 1 / 3, 4 / 9]),
-            np.array([0.0, 1 / 2, 3 / 4]),
-        )
+        return (0.0, 1 / 2, 3 / 4), (2 / 9, 1 / 3, 4 / 9), (0.0, 1 / 2, 3 / 4)
     if order == 4:
         return (
-            np.array([0.0, 0.5, 0.5, 1.0]),
-            np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]),
-            np.array([0.0, 0.5, 0.5, 1.0]),
+            (0.0, 0.5, 0.5, 1.0),
+            (1 / 6, 1 / 3, 1 / 3, 1 / 6),
+            (0.0, 0.5, 0.5, 1.0),
         )
     raise ValueError(f"unsupported explicit RK order {order}")
 
 
 def dirk_tables(order: int):
-    """SDIRK tables: backward Euler, Crouzeix 2/3-stage, 4-stage."""
+    """SDIRK tables: backward Euler, Crouzeix 2/3-stage, 4-stage.
+
+    ``A`` is a nested tuple (index ``A[i][j]``); Python floats for the same
+    weak-promotion reason as ``explicit_tables``.
+    """
     if order == 1:
-        return np.array([[1.0]]), np.array([1.0]), np.array([1.0])
+        return ((1.0,),), (1.0,), (1.0,)
     if order == 2:
         return (
-            np.array([[1 / 4, 0.0], [1 / 2, 1 / 4]]),
-            np.array([1 / 2, 1 / 2]),
-            np.array([1 / 4, 3 / 4]),
+            ((1 / 4, 0.0), (1 / 2, 1 / 4)),
+            (1 / 2, 1 / 2),
+            (1 / 4, 3 / 4),
         )
     if order == 3:
-        q = 2 * np.cos(np.pi / 18) / np.sqrt(3)
+        q = float(2 * np.cos(np.pi / 18) / np.sqrt(3))
         return (
-            np.array(
-                [
-                    [(1 + q) / 2, 0, 0],
-                    [-q / 2, (1 + q) / 2, 0],
-                    [1 + q, -(1 + 2 * q), (1 + q) / 2],
-                ]
+            (
+                ((1 + q) / 2, 0.0, 0.0),
+                (-q / 2, (1 + q) / 2, 0.0),
+                (1 + q, -(1 + 2 * q), (1 + q) / 2),
             ),
-            np.array([1 / (6 * q**2), 1 - 1 / (3 * q**2), 1 / (6 * q**2)]),
-            np.array([(1 + q) / 2, 1 / 2, (1 - q) / 2]),
+            (1 / (6 * q**2), 1 - 1 / (3 * q**2), 1 / (6 * q**2)),
+            ((1 + q) / 2, 1 / 2, (1 - q) / 2),
         )
     if order == 4:
         return (
-            np.array(
-                [
-                    [1 / 2, 0, 0, 0],
-                    [1 / 6, 1 / 2, 0, 0],
-                    [-1 / 2, 1 / 2, 1 / 2, 0],
-                    [3 / 2, -3 / 2, 1 / 2, 1 / 2],
-                ]
+            (
+                (1 / 2, 0.0, 0.0, 0.0),
+                (1 / 6, 1 / 2, 0.0, 0.0),
+                (-1 / 2, 1 / 2, 1 / 2, 0.0),
+                (3 / 2, -3 / 2, 1 / 2, 1 / 2),
             ),
-            np.array([3 / 2, -3 / 2, 1 / 2, 1 / 2]),
-            np.array([1 / 2, 2 / 3, 1 / 2, 1.0]),
+            (3 / 2, -3 / 2, 1 / 2, 1 / 2),
+            (1 / 2, 2 / 3, 1 / 2, 1.0),
         )
     raise ValueError(f"unsupported DIRK order {order}")
 

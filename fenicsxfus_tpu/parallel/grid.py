@@ -438,7 +438,7 @@ class ShardedImplicitSolverND:
 
         def local_step(consts, w, carry, dtn):
             u0, v0, t = carry
-            tau = dtn * A_tab[0, 0]
+            tau = dtn * A_tab[0][0]
             dinv = 1.0 / cls.lhs_diag_pure(ops, consts, tau)
             dot = lambda x, y: psum_all(jnp.sum(w * x * y))
             kus, kvs = [], []
@@ -448,8 +448,8 @@ class ShardedImplicitSolverND:
             for i in range(n):
                 un, vn = u0, v0
                 for j in range(i):
-                    un = un + (A_tab[i, j] * dtn) * kus[j]
-                    vn = vn + (A_tab[i, j] * dtn) * kvs[j]
+                    un = un + (A_tab[i][j] * dtn) * kus[j]
+                    vn = vn + (A_tab[i][j] * dtn) * kvs[j]
                 tn = t + c_tab[i] * dtn
                 b = cls.rhs_stage(ops, consts, tau, tn, un, vn)
                 x0 = kvs[-1] if kvs else jnp.zeros_like(v0)
