@@ -11,6 +11,7 @@ Public API mirrors the reference package exports
 (``python/src/fenicsxfus/__init__.py:14-31``).
 """
 
+from .core.bowl import bowl_cap_area, create_bowl_box  # noqa: F401
 from .core.mesh import (  # noqa: F401
     Mesh,
     create_box,
@@ -52,6 +53,8 @@ __all__ = [
     "create_interval",
     "create_rectangle",
     "create_box",
+    "create_bowl_box",
+    "bowl_cap_area",
     "tag_boundaries",
     "SEMOperators",
     "LinearExplicit",
