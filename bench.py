@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # Persistent XLA compilation cache: the fused 72.5M-DOF program takes
+    # ~10+ min to compile on this 1-core host VM; cached reruns skip it.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
     import jax
     import jax.numpy as jnp
 
@@ -39,12 +47,6 @@ def main():
     f0 = 0.5e6
     p0 = 60000.0
     L = 0.12  # reference PH1/solver-speed domain scale (m)
-    mesh = create_box((nx, nx, nx), (0, 0, 0), (L, L, L))
-    tag_boundaries(
-        mesh, {1: lambda x: x[0] < 1e-9, 2: lambda x: x[0] > L - 1e-9}
-    )
-    h = L / nx
-    dt = 0.9 * h / (c0 * degree**2)
 
     import time as _t
 
@@ -53,6 +55,15 @@ def main():
     def _log(msg):
         if os.environ.get("BENCH_VERBOSE"):
             print(f"[{_t.perf_counter()-_t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    _log("creating mesh")
+    mesh = create_box((nx, nx, nx), (0, 0, 0), (L, L, L))
+    _log("tagging boundaries")
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-9, 2: lambda x: x[0] > L - 1e-9}
+    )
+    h = L / nx
+    dt = 0.9 * h / (c0 * degree**2)
 
     _log("building model")
     model = LinearSpectralExplicit(
