@@ -137,6 +137,9 @@ class LatticePallasStiffness:
         self.tile_cols = tile_cols
         self.interpret = interpret
         self.plans = [_chunk_plan(self.grid[a], self.p) for a in range(3)]
+        import os
+
+        self._b0_env = os.environ.get("FUS_B0")
         # distinct chunk sizes per axis → one banded K1 operand per size
         self._bk_np = {}
         for plan in self.plans:
@@ -248,6 +251,21 @@ class LatticePallasStiffness:
         z = jnp.concatenate(zs, axis=0)  # [na, N, T]
         return _fold_value(z, p)
 
+    def pick_b0(self, n_field_blocks: int, budget_bytes: int = 72 << 20) -> int:
+        """Planes per kernel-B grid step. One-plane steps leave the grid
+        ~400 steps long at the 72.5M-DOF benchmark size, and per-step
+        latency (~5 µs: DMA issue + semaphores) dominates the ~0.7 MB
+        plane DMAs; multi-plane blocks amortise it. Bounded so that all
+        double-buffered field blocks fit the VMEM budget."""
+        if self._b0_env:
+            return max(int(self._b0_env), 1)
+        G0, G1, G2 = self.gdims
+        plane = G1 * G2 * np.dtype(self.lat.dtype).itemsize
+        for b0 in (8, 4, 2):
+            if n_field_blocks * b0 * plane * 2 <= budget_bytes:
+                return b0
+        return 1
+
     @functools.cached_property
     def _bk_ops(self):
         """Banded K1 operands, ordered by cell count (stable order). May be
@@ -281,38 +299,42 @@ class LatticePallasStiffness:
 
         return kernel
 
-    def _kernel_axes12(self, n_fields, hetero):
+    def _kernel_axes12(self, n_fields, hetero, b0):
         plan1, plan2 = self.plans[1], self.plans[2]
         prec = self._prec()
         bk_keys, _ = self._bk_ops
         nbk = len(bk_keys)
 
         def kernel(*refs):
-            i = 0
-            xs = [refs[i + f][0, :, :] for f in range(n_fields)]
-            i += n_fields
-            F1s = [refs[i + f][0, :, :] for f in range(n_fields)]
-            i += n_fields
-            F2s = [refs[i + f][0, :, :] for f in range(n_fields)]
-            i += n_fields
-            bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}
-            i += nbk
-            yA = refs[i][0, :, :]
-            out_ref = refs[-1]
-            acc = yA
-            y2t = None
-            for f in range(n_fields):
-                # axis 1: contract rows of [G1, G2]
-                acc = acc + self._axis_chunk_apply(
-                    xs[f], plan1, bks, F1s[f], hetero[f], prec, last_axis=False
-                )
-                # axis 2: lane-dim contraction → transposed result [G2, G1]
-                # (F2 is packed transposed); one transpose per block at the end
-                y2 = self._axis_chunk_apply(
-                    xs[f], plan2, bks, F2s[f], hetero[f], prec, last_axis=True
-                )
-                y2t = y2 if y2t is None else y2t + y2
-            out_ref[0, :, :] = acc + y2t.T
+            for ip in range(b0):
+                i = 0
+                xs = [refs[i + f][ip, :, :] for f in range(n_fields)]
+                i += n_fields
+                F1s = [refs[i + f][ip, :, :] for f in range(n_fields)]
+                i += n_fields
+                F2s = [refs[i + f][ip, :, :] for f in range(n_fields)]
+                i += n_fields
+                bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}
+                i += nbk
+                yA = refs[i][ip, :, :]
+                out_ref = refs[-1]
+                acc = yA
+                y2t = None
+                for f in range(n_fields):
+                    # axis 1: contract rows of [G1, G2]
+                    acc = acc + self._axis_chunk_apply(
+                        xs[f], plan1, bks, F1s[f], hetero[f], prec,
+                        last_axis=False,
+                    )
+                    # axis 2: lane-dim contraction → transposed result
+                    # [G2, G1] (F2 is packed transposed); one transpose
+                    # per plane at the end
+                    y2 = self._axis_chunk_apply(
+                        xs[f], plan2, bks, F2s[f], hetero[f], prec,
+                        last_axis=True,
+                    )
+                    y2t = y2 if y2t is None else y2t + y2
+                out_ref[ip, :, :] = acc + y2t.T
 
         return kernel
 
@@ -362,13 +384,14 @@ class LatticePallasStiffness:
             compiler_params=None if self.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
 
-        # ---- kernel B: axes 1+2 on [1, G1, G2] blocks, accumulate into yA
+        # ---- kernel B: axes 1+2 on [b0, G1, G2] blocks, accumulate into yA
+        b0 = self.pick_b0(n_fields + 2)
         in_specs = []
         args = []
         for f in range(n_fields):
             in_specs.append(
                 pl.BlockSpec(
-                    (1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                    (b0, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
                 )
             )
             args.append(xs[f])
@@ -376,7 +399,7 @@ class LatticePallasStiffness:
             n1 = Fs[f]["F1"].shape[1]
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                    (b0, n1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
                 )
             )
             args.append(Fs[f]["F1"])
@@ -384,7 +407,7 @@ class LatticePallasStiffness:
             n2 = Fs[f]["F2"].shape[1]  # stored transposed: [G0, n2, G1]
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n2, G1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                    (b0, n2, G1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
                 )
             )
             args.append(Fs[f]["F2"])
@@ -396,15 +419,15 @@ class LatticePallasStiffness:
         # aliased accumulator: kernel B adds axes-1/2 contributions in place
         ya_idx = len(args)
         in_specs.append(
-            pl.BlockSpec((1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((b0, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(yA.reshape(self.gdims))
         y = pl.pallas_call(
-            self._kernel_axes12(n_fields, hetero),
-            grid=(G0,),
+            self._kernel_axes12(n_fields, hetero, b0),
+            grid=((G0 + b0 - 1) // b0,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (b0, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct(self.gdims, dtype),
             input_output_aliases={ya_idx: 0},

@@ -119,16 +119,16 @@ def pack_facet_vector(vec, gdims):
     return {"xp": xp, "ye": ye, "ze": ze}
 
 
-def _facet_corrections(fvals, coefs, vn, G0):
-    """Boundary contribution Σ_F coef_F·F at the current g0-block, as
-    (xplane [G1,G2], row0 [1,G2], rowL [1,G2], col0 [G1,1], colL [G1,1]).
+def _facet_corrections(fvals, coefs, vn, g0, G0):
+    """Boundary contribution Σ_F coef_F·F at lattice plane ``g0`` (a traced
+    scalar: multi-plane kernel-B blocks make the plane index block-relative),
+    as (xplane [G1,G2], row0 [1,G2], rowL [1,G2], col0 [G1,1], colL [G1,1]).
 
-    ``fvals``: per facet field (xp [G1,G2] — plane 0 or G0-1 per the block
-    index map —, ye [2,G2], ze [G1,2]); ``coefs``: scalar per field, or the
+    ``fvals``: per facet field (xp [2, G1, G2] — BOTH x-planes, selected by
+    mask —, ye [2,G2], ze [G1,2]); ``coefs``: scalar per field, or the
     string "abc" meaning coefficient −vn (pointwise)."""
-    pid = pl.program_id(0)
-    on_x = jnp.logical_or(pid == 0, pid == G0 - 1)
-    xmask = jnp.where(on_x, 1.0, 0.0).astype(vn.dtype)
+    m0 = jnp.where(g0 == 0, 1.0, 0.0).astype(vn.dtype)
+    mL = jnp.where(g0 == G0 - 1, 1.0, 0.0).astype(vn.dtype)
     G1 = vn.shape[0]
     xplane = None
     r0 = rL = c0 = cL = None
@@ -137,19 +137,20 @@ def _facet_corrections(fvals, coefs, vn, G0):
         return piece if t is None else t + piece
 
     for (xpv, yev, zev), coef in zip(fvals, coefs):
+        xsel = m0 * xpv[0] + mL * xpv[1]
         if isinstance(coef, str):  # "abc": pointwise coefficient −vn
-            xplane = acc(xplane, -(xpv * vn))
+            xplane = acc(xplane, -(xsel * vn))
             r0 = acc(r0, -(yev[0:1, :] * vn[0:1, :]))
             rL = acc(rL, -(yev[1:2, :] * vn[G1 - 1 : G1, :]))
             c0 = acc(c0, -(zev[:, 0:1] * vn[:, 0:1]))
             cL = acc(cL, -(zev[:, 1:2] * vn[:, -1:]))
         else:
-            xplane = acc(xplane, coef * xpv)
+            xplane = acc(xplane, coef * xsel)
             r0 = acc(r0, coef * yev[0:1, :])
             rL = acc(rL, coef * yev[1:2, :])
             c0 = acc(c0, coef * zev[:, 0:1])
             cL = acc(cL, coef * zev[:, 1:2])
-    return xmask * xplane, r0, rL, c0, cL
+    return xplane, r0, rL, c0, cL
 
 
 def _apply_corrections(b, corr):
@@ -278,7 +279,7 @@ class FusedRKStage:
 
     # ------------------------------------------------------------ kernel B
 
-    def _kernel_B(self, has_kvp, has_kvpp, final, n_prev):
+    def _kernel_B(self, has_kvp, has_kvpp, final, n_prev, b0):
         pk = self.pk
         plan1, plan2 = pk.plans[1], pk.plans[2]
         prec = pk._prec()
@@ -291,73 +292,86 @@ class FusedRKStage:
         G0 = pk.gdims[0]
 
         def kernel(*refs):
-            i = 0
-            u0 = refs[i][0, :, :]; i += 1
-            v0 = refs[i][0, :, :]; i += 1
-            kvp = kvpp = None
-            if has_kvp:
-                kvp = refs[i][0, :, :]; i += 1
-            if has_kvpp:
-                kvpp = refs[i][0, :, :]; i += 1
-            prev = [refs[i + j][0, :, :] for j in range(n_prev)]; i += n_prev
-            yA = refs[i][0, :, :]; i += 1
-            scal = refs[i]; i += 1
-            F1s = [refs[i + f][0, :, :] for f in range(nf)]; i += nf
-            F2s = [refs[i + f][0, :, :] for f in range(nf)]; i += nf
-            bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
-            dense = [refs[i + j][0, :, :] for j in range(nde)]; i += nde
-            fvals = []
-            for _j in range(nfa):
-                fvals.append(
-                    (refs[i][0, :, :], refs[i + 1][0, :, :], refs[i + 2][0, :, :])
+            pid = pl.program_id(0)
+            for ip in range(b0):
+                g0 = pid * b0 + ip  # lattice plane of this block row
+                i = 0
+                u0 = refs[i][ip, :, :]; i += 1
+                v0 = refs[i][ip, :, :]; i += 1
+                kvp = kvpp = None
+                if has_kvp:
+                    kvp = refs[i][ip, :, :]; i += 1
+                if has_kvpp:
+                    kvpp = refs[i][ip, :, :]; i += 1
+                prev = [refs[i + j][ip, :, :] for j in range(n_prev)]; i += n_prev
+                yA = refs[i][ip, :, :]; i += 1
+                scal = refs[i]; i += 1
+                F1s = [refs[i + f][ip, :, :] for f in range(nf)]; i += nf
+                F2s = [refs[i + f][ip, :, :] for f in range(nf)]; i += nf
+                bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
+                dense = [refs[i + j][ip, :, :] for j in range(nde)]; i += nde
+                fvals = []
+                for _j in range(nfa):
+                    # xp carries BOTH x-planes (constant block), ye/ze are
+                    # per-plane strips
+                    fvals.append(
+                        (refs[i][:, :, :], refs[i + 1][ip, :, :],
+                         refs[i + 2][ip, :, :])
+                    )
+                    i += 3
+                un, vn = self._stage_fields(
+                    u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
                 )
-                i += 3
-            un, vn = self._stage_fields(
-                u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
-            )
-            fields = (un,) if nf == 1 else (un, vn)
-            acc = yA
-            y2t = None
-            for f in range(nf):
-                acc = acc + pk._axis_chunk_apply(
-                    fields[f], plan1, bks, F1s[f], self.hetero[f], prec, False
+                fields = (un,) if nf == 1 else (un, vn)
+                acc = yA
+                y2t = None
+                for f in range(nf):
+                    acc = acc + pk._axis_chunk_apply(
+                        fields[f], plan1, bks, F1s[f], self.hetero[f], prec, False
+                    )
+                    y2 = pk._axis_chunk_apply(
+                        fields[f], plan2, bks, F2s[f], self.hetero[f], prec, True
+                    )
+                    y2t = y2 if y2t is None else y2t + y2
+                acc = acc + y2t.T
+                # scal layout: [alpha, beta, src_0..src_{nfa-2}] (+ final tail)
+                coefs = [scal[0, 2 + j] for j in range(nfa - 1)] + ["abc"]
+                corr = _facet_corrections(fvals, coefs, vn, g0, G0)
+                kv = _epilogue(kind, acc, un, vn, dense, corr)
+                if not final:
+                    refs[-1][ip, :, :] = kv
+                    continue
+                # step update (scal layout: see make_step); slopes in stage order
+                kvs = (
+                    prev
+                    + ([kvpp] if kvpp is not None else [])
+                    + ([kvp] if kvp is not None else [])
+                    + [kv]
                 )
-                y2 = pk._axis_chunk_apply(
-                    fields[f], plan2, bks, F2s[f], self.hetero[f], prec, True
-                )
-                y2t = y2 if y2t is None else y2t + y2
-            acc = acc + y2t.T
-            # scal layout: [alpha, beta, src_0..src_{nfa-2}] (+ final tail)
-            coefs = [scal[0, 2 + j] for j in range(nfa - 1)] + ["abc"]
-            corr = _facet_corrections(fvals, coefs, vn, G0)
-            kv = _epilogue(kind, acc, un, vn, dense, corr)
-            if not final:
-                refs[-1][0, :, :] = kv
-                return
-            # step update (scal layout: see make_step); slopes in stage order
-            kvs = (
-                prev
-                + ([kvpp] if kvpp is not None else [])
-                + ([kvp] if kvp is not None else [])
-                + [kv]
-            )
-            ns = len(kvs)
-            off = 2 + (nfa - 1)  # position of dt·Σb in scal
-            u1 = u0 + scal[0, off] * v0
-            for j in range(ns - 1):
-                u1 = u1 + scal[0, off + 1 + j] * kvs[j]
-            v1 = v0
-            for i_s in range(ns):
-                v1 = v1 + scal[0, off + 1 + (ns - 1) + i_s] * kvs[i_s]
-            refs[-2][0, :, :] = u1
-            refs[-1][0, :, :] = v1
+                ns = len(kvs)
+                off = 2 + (nfa - 1)  # position of dt·Σb in scal
+                u1 = u0 + scal[0, off] * v0
+                for j in range(ns - 1):
+                    u1 = u1 + scal[0, off + 1 + j] * kvs[j]
+                v1 = v0
+                for i_s in range(ns):
+                    v1 = v1 + scal[0, off + 1 + (ns - 1) + i_s] * kvs[i_s]
+                refs[-2][ip, :, :] = u1
+                refs[-1][ip, :, :] = v1
 
         return kernel
 
     def call_B(self, u0, v0, kvp, kvpp, prev_kvs, yA, scal, Fs, extras, final):
         pk = self.pk
         G0, G1, G2 = pk.gdims
-        blk = pl.BlockSpec((1, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        n_field_blocks = (
+            2 + (kvp is not None) + (kvpp is not None) + len(prev_kvs)
+            + 1  # yA
+            + len(KIND_DENSE[self.kind])
+            + (2 if final else 1)  # outputs
+        )
+        b0 = pk.pick_b0(n_field_blocks)
+        blk = pl.BlockSpec((b0, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         gd = pk.gdims
         args, specs = [], []
         for x in (u0, v0) + tuple(
@@ -375,13 +389,13 @@ class FusedRKStage:
             n1 = Fs[f]["F1"].shape[1]
             args.append(Fs[f]["F1"])
             specs.append(
-                pl.BlockSpec((1, n1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((b0, n1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
             )
         for f in range(self.nf):
             n2 = Fs[f]["F2"].shape[1]
             args.append(Fs[f]["F2"])
             specs.append(
-                pl.BlockSpec((1, n2, G1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((b0, n2, G1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
             )
         for bk in pk._bk_ops[1]:
             args.append(bk)
@@ -393,24 +407,21 @@ class FusedRKStage:
             args.append(e.reshape(gd))
             specs.append(blk)
         for fp in facets:
-            # xp: plane 0 for all interior blocks (its DMA is elided while
-            # the block index is unchanged), plane 1 at the last block; the
-            # kernel masks it off away from the x-faces.
+            # xp: BOTH x-planes as one constant block (its DMA is elided
+            # after the first grid step); the kernel mask-selects per plane.
             args.append(fp["xp"])
             specs.append(
                 pl.BlockSpec(
-                    (1, G1, G2),
-                    lambda b: (b // (G0 - 1), 0, 0),
-                    memory_space=pltpu.VMEM,
+                    (2, G1, G2), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
                 )
             )
             args.append(fp["ye"])
             specs.append(
-                pl.BlockSpec((1, 2, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((b0, 2, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
             )
             args.append(fp["ze"])
             specs.append(
-                pl.BlockSpec((1, G1, 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((b0, G1, 2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
             )
         if final:
             out_shape = (
@@ -425,8 +436,10 @@ class FusedRKStage:
             out_specs = blk
             aliases = {}
         return pl.pallas_call(
-            self._kernel_B(kvp is not None, kvpp is not None, final, len(prev_kvs)),
-            grid=(G0,),
+            self._kernel_B(
+                kvp is not None, kvpp is not None, final, len(prev_kvs), b0
+            ),
+            grid=((G0 + b0 - 1) // b0,),
             in_specs=specs,
             out_specs=out_specs,
             out_shape=out_shape,
