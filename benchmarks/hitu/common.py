@@ -236,12 +236,15 @@ def steady_amplitude(times, ys, f0, n_periods=2):
 
 def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
         full: bool = False, f0: float | None = None, out: str | None = None,
-        final_time: float | None = None, dtype=None):
-    """Run one HITU variant; returns (axial x, steady amplitude)."""
+        final_time: float | None = None, dtype=None, bowl: bool = False):
+    """Run one HITU variant; returns (axial x, steady amplitude).
+    ``bowl=True`` runs on the bowl-FITTED mesh (real curved facets,
+    general-geometry operator path) instead of the phased flat aperture."""
     import time
 
     f0 = f0 or (F0_FULL if full else 0.5e6)
-    model, h, dt, spp = build_model(
+    builder = build_bowl_model if bowl else build_model
+    model, h, dt, spp = builder(
         kind, tx, medium, nx, degree=degree, f0=f0, dtype=dtype
     )
     m = MEDIA[medium]
@@ -251,7 +254,7 @@ def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
     nsteps = int(round(tf / dt))
     ndofs = model.number_of_dofs()
     lam = c0 / f0
-    name = f"{kind}-{tx}-{medium}"
+    name = f"{kind}-{tx}-{medium}" + ("-BOWLMESH" if bowl else "")
     print(f"HITU {name}: f0={f0/1e6:.2f} MHz  p={degree}  "
           f"{lam/h:.2f} elems/wavelength  DOFs={ndofs/1e6:.2f}M  "
           f"dt={dt:.3e}  steps={nsteps}  steps/period={spp}")
@@ -352,9 +355,13 @@ def driver_main(kind: str, tx: str, medium: str):
                     "multi-chip scale, as in the reference)")
     ap.add_argument("--f0", type=float, default=None)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--bowl", action="store_true",
+                    help="bowl-fitted mesh (real curved transducer facets) "
+                    "instead of the phased flat aperture")
     args = ap.parse_args()
+    suffix = "_bowlmesh" if args.bowl else ""
     out = args.out or os.path.join(
-        RESULTS, f"{kind.lower()}_{tx.lower()}_{medium.lower()}.npz"
+        RESULTS, f"{kind.lower()}_{tx.lower()}_{medium.lower()}{suffix}.npz"
     )
     run(kind, tx, medium, nx=args.nx, degree=args.degree, full=args.full,
-        f0=args.f0, out=out)
+        f0=args.f0, out=out, bowl=args.bowl)

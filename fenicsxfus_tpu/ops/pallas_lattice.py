@@ -165,7 +165,11 @@ class LatticePallasStiffness:
         c = float(coeff)
         wg = [np.asarray(lat._wg[a]) for a in range(3)]
         G0, G1, G2 = self.gdims
-        F0 = (c * lat._geo[0]) * np.outer(wg[1], wg[2]).reshape(1, G1 * G2)
+        # F0 is stored 3D [n0 or 1, G1, G2]: kernel A works on the native
+        # [G0, G1, G2] layout (a flattened [G0, G1*G2] view forced XLA to
+        # materialise full-field re-tiling copies around the kernel —
+        # ~40% of the apply time in the device trace)
+        F0 = (c * lat._geo[0]) * np.outer(wg[1], wg[2]).reshape(1, G1, G2)
         F1 = (c * lat._geo[1]) * (
             wg[0][:, None, None] * wg[2][None, None, :]
         )  # [G0, 1, G2]
@@ -197,7 +201,7 @@ class LatticePallasStiffness:
                 if b != a:
                     t = lat._fold_weighted(t, b)
             outs.append(lat._geo[a] * t)  # cell axis a, lattice elsewhere
-        F0 = outs[0].reshape(self.grid[0], -1)  # [n0, G1*G2]
+        F0 = outs[0]  # [n0, G1, G2] (3D: see pack_const)
         F1 = outs[1]  # [G0, n1, G2]
         F2 = np.swapaxes(outs[2], 1, 2)  # [G0, n2, G1] (transposed, see pack_const)
         dt = self.lat.dtype
@@ -276,28 +280,46 @@ class LatticePallasStiffness:
             ops = [jnp.asarray(self._bk_np[k], self.lat.dtype) for k in keys]
         return keys, ops
 
-    def _kernel_axis0(self, n_fields, hetero):
+    def _kernel_axis0(self, n_fields, hetero, bg1):
+        """Axis-0 contraction on the NATIVE [G0, G1, G2] layout: grid over
+        G1 tiles, per-slice 2D banded matmuls inside the block (no HBM
+        reshape of the field)."""
         plan = self.plans[0]
         prec = self._prec()
         bk_keys, _ = self._bk_ops
         nbk = len(bk_keys)
 
         def kernel(*refs):
-            xs = [refs[i][:, :] for i in range(n_fields)]
-            Fs = [refs[n_fields + i][:, :] for i in range(n_fields)]
             bks = {
                 bk_keys[i]: refs[2 * n_fields + i][:, :] for i in range(nbk)
             }
             out_ref = refs[-1]
-            acc = None
-            for f in range(n_fields):
-                y = self._axis_chunk_apply(
-                    xs[f], plan, bks, Fs[f], hetero[f], prec, last_axis=False
-                )
-                acc = y if acc is None else acc + y
-            out_ref[:, :] = acc
+            for g1 in range(bg1):
+                acc = None
+                for f in range(n_fields):
+                    x2 = refs[f][:, g1, :]
+                    F2 = refs[n_fields + f][:, g1, :]
+                    y = self._axis_chunk_apply(
+                        x2, plan, bks, F2, hetero[f], prec, last_axis=False
+                    )
+                    acc = y if acc is None else acc + y
+                out_ref[:, g1, :] = acc
 
         return kernel
+
+    def pick_bg1(self, n_field_blocks: int, budget_bytes: int = 72 << 20) -> int:
+        """G1-slices per kernel-A grid step (same rationale as pick_b0)."""
+        import os
+
+        env = os.environ.get("FUS_BG1") or self._b0_env
+        if env:
+            return max(int(env), 1)
+        G0, G1, G2 = self.gdims
+        slice_bytes = G0 * G2 * np.dtype(self.lat.dtype).itemsize
+        for bg1 in (8, 4, 2):
+            if n_field_blocks * bg1 * slice_bytes * 2 <= budget_bytes:
+                return bg1
+        return 1
 
     def _kernel_axes12(self, n_fields, hetero, b0):
         plan1, plan2 = self.plans[1], self.plans[2]
@@ -350,21 +372,25 @@ class LatticePallasStiffness:
         hetero = tuple(F["F0"].shape[0] != 1 for F in Fs)
         bk_keys, bk_ops = self._bk_ops
 
-        # ---- kernel A: axis 0 on the [G0, R] view
-        R = G1 * G2
-        TC = min(self.tile_cols, R)
-        grid_a = ((R + TC - 1) // TC,)
+        # ---- kernel A: axis 0 on the native [G0, G1, G2] layout, grid
+        # over G1 tiles (no HBM reshape)
+        bg1 = self.pick_bg1(n_fields + 1)
+        grid_a = ((G1 + bg1 - 1) // bg1,)
         in_specs = []
         args = []
         for f in range(n_fields):
             in_specs.append(
-                pl.BlockSpec((G0, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (G0, bg1, G2), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                )
             )
-            args.append(xs[f].reshape(G0, R))
+            args.append(xs[f])
         for f in range(n_fields):
             nF = Fs[f]["F0"].shape[0]
             in_specs.append(
-                pl.BlockSpec((nF, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (nF, bg1, G2), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                )
             )
             args.append(Fs[f]["F0"])
         for bk in bk_ops:
@@ -373,13 +399,13 @@ class LatticePallasStiffness:
             )
             args.append(bk)
         yA = pl.pallas_call(
-            self._kernel_axis0(n_fields, hetero),
+            self._kernel_axis0(n_fields, hetero, bg1),
             grid=grid_a,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (G0, TC), lambda i: (0, i), memory_space=pltpu.VMEM
+                (G0, bg1, G2), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((G0, R), dtype),
+            out_shape=jax.ShapeDtypeStruct(self.gdims, dtype),
             interpret=self.interpret,
             compiler_params=None if self.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
@@ -421,7 +447,7 @@ class LatticePallasStiffness:
         in_specs.append(
             pl.BlockSpec((b0, G1, G2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         )
-        args.append(yA.reshape(self.gdims))
+        args.append(yA)  # already [G0, G1, G2] from the 3D kernel A
         y = pl.pallas_call(
             self._kernel_axes12(n_fields, hetero, b0),
             grid=((G0 + b0 - 1) // b0,),

@@ -202,7 +202,9 @@ class FusedRKStage:
 
     # ------------------------------------------------------------ kernel A
 
-    def _kernel_A(self, has_kvp, has_kvpp):
+    def _kernel_A(self, has_kvp, has_kvpp, bg1):
+        """Axis-0 partial on the NATIVE [G0, G1, G2] layout (grid over G1
+        tiles, per-slice 2D matmuls — see pallas_lattice._kernel_axis0)."""
         pk = self.pk
         plan = pk.plans[0]
         prec = pk._prec()
@@ -211,46 +213,48 @@ class FusedRKStage:
         nf = self.nf
 
         def kernel(*refs):
-            i = 0
-            u0 = refs[i][:, :]; i += 1
-            v0 = refs[i][:, :]; i += 1
-            kvp = kvpp = None
-            if has_kvp:
-                kvp = refs[i][:, :]; i += 1
-            if has_kvpp:
-                kvpp = refs[i][:, :]; i += 1
-            scal = refs[i]; i += 1
-            Fs = [refs[i + f][:, :] for f in range(nf)]; i += nf
-            bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
-            out_ref = refs[-1]
-            un, vn = self._stage_fields(
-                u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
-            )
-            fields = (un,) if nf == 1 else (un, vn)
-            acc = None
-            for f in range(nf):
-                y = pk._axis_chunk_apply(
-                    fields[f], plan, bks, Fs[f], self.hetero[f], prec, False
+            for g1 in range(bg1):
+                i = 0
+                u0 = refs[i][:, g1, :]; i += 1
+                v0 = refs[i][:, g1, :]; i += 1
+                kvp = kvpp = None
+                if has_kvp:
+                    kvp = refs[i][:, g1, :]; i += 1
+                if has_kvpp:
+                    kvpp = refs[i][:, g1, :]; i += 1
+                scal = refs[i]; i += 1
+                Fs = [refs[i + f][:, g1, :] for f in range(nf)]; i += nf
+                bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
+                out_ref = refs[-1]
+                un, vn = self._stage_fields(
+                    u0, v0, kvp, kvpp, scal[0, 0], scal[0, 1]
                 )
-                acc = y if acc is None else acc + y
-            out_ref[:, :] = acc
+                fields = (un,) if nf == 1 else (un, vn)
+                acc = None
+                for f in range(nf):
+                    y = pk._axis_chunk_apply(
+                        fields[f], plan, bks, Fs[f], self.hetero[f], prec, False
+                    )
+                    acc = y if acc is None else acc + y
+                out_ref[:, g1, :] = acc
 
         return kernel
 
     def call_A(self, u0, v0, kvp, kvpp, scal, Fs):
         pk = self.pk
         G0, G1, G2 = pk.gdims
-        R = G1 * G2
-        TC = min(pk.tile_cols, R)
         # kernel A only needs kvp for the vn field (2-field kinds)
         if self.nf == 1:
             kvp = None
-        vec = pl.BlockSpec((G0, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+        n_blocks = 2 + (kvp is not None) + (kvpp is not None) + 1
+        bg1 = pk.pick_bg1(n_blocks)
+        gd = pk.gdims
+        vec = pl.BlockSpec((G0, bg1, G2), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         args, specs = [], []
         for x in (u0, v0) + tuple(
             z for z in (kvp, kvpp) if z is not None
         ):
-            args.append(x.reshape(G0, R))
+            args.append(x.reshape(gd))
             specs.append(vec)
         args.append(scal)
         specs.append(
@@ -260,7 +264,9 @@ class FusedRKStage:
             nF = Fs[f]["F0"].shape[0]
             args.append(Fs[f]["F0"])
             specs.append(
-                pl.BlockSpec((nF, TC), lambda i: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (nF, bg1, G2), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                )
             )
         for bk in pk._bk_ops[1]:
             args.append(bk)
@@ -268,11 +274,11 @@ class FusedRKStage:
                 pl.BlockSpec(bk.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             )
         return pl.pallas_call(
-            self._kernel_A(kvp is not None, kvpp is not None),
-            grid=((R + TC - 1) // TC,),
+            self._kernel_A(kvp is not None, kvpp is not None, bg1),
+            grid=((G1 + bg1 - 1) // bg1,),
             in_specs=specs,
             out_specs=vec,
-            out_shape=jax.ShapeDtypeStruct((G0, R), self.dtype),
+            out_shape=jax.ShapeDtypeStruct(gd, self.dtype),
             interpret=pk.interpret,
             compiler_params=None if pk.interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*args)
@@ -379,7 +385,7 @@ class FusedRKStage:
         ) + tuple(prev_kvs):
             args.append(x.reshape(gd))
             specs.append(blk)
-        args.append(yA.reshape(gd))
+        args.append(yA)  # already [G0, G1, G2] from the 3D kernel A
         specs.append(blk)
         args.append(scal)
         specs.append(
