@@ -169,7 +169,12 @@ class ExplicitModelBase(SpectralModelBase):
                     n: jnp.asarray(v, self.dtype) for n, v in packed.items()
                 }
         hetero = [F["F0"].shape[0] != 1 for F in Fs]
-        stage = FusedRKStage(
+        stage_cls = FusedRKStage
+        if os.environ.get("FUS_STAGE_V3", "") == "1":
+            from ..ops.pallas_stage_v3 import FusedRKStageV3
+
+            stage_cls = FusedRKStageV3
+        stage = stage_cls(
             pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
         )
         return stage.make_step(

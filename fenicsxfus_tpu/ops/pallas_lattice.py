@@ -44,7 +44,7 @@ from ..core.gll import diff_matrix, gll_points_weights_01
 
 # v5e has far more physical VMEM than the 16MB default scoped limit; the
 # [1, G1, G2]-block kernels need ~17-24MB at the 72.5M-DOF benchmark size.
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 120 * 1024 * 1024
 
 
 def _k1_matrix(p: int) -> np.ndarray:
@@ -255,7 +255,7 @@ class LatticePallasStiffness:
         z = jnp.concatenate(zs, axis=0)  # [na, N, T]
         return _fold_value(z, p)
 
-    def pick_b0(self, n_field_blocks: int, budget_bytes: int = 72 << 20) -> int:
+    def pick_b0(self, n_field_blocks: int, budget_bytes: int = 48 << 20) -> int:
         """Planes per kernel-B grid step. One-plane steps leave the grid
         ~400 steps long at the 72.5M-DOF benchmark size, and per-step
         latency (~5 µs: DMA issue + semaphores) dominates the ~0.7 MB
@@ -307,7 +307,7 @@ class LatticePallasStiffness:
 
         return kernel
 
-    def pick_bg1(self, n_field_blocks: int, budget_bytes: int = 72 << 20) -> int:
+    def pick_bg1(self, n_field_blocks: int, budget_bytes: int = 48 << 20) -> int:
         """G1-slices per kernel-A grid step (same rationale as pick_b0)."""
         import os
 
@@ -365,6 +365,12 @@ class LatticePallasStiffness:
     def apply(self, xs, Fs):
         """y = Σ_f K_{coeff_f}(x_f); xs lattice-shaped [G0, G1, G2] (or flat
         [ndofs]); Fs = packed dicts from ``pack_const``/``pack_field``."""
+        import os
+
+        if os.environ.get("FUS_V3", "") == "1":
+            from .pallas_v3 import apply_v3
+
+            return apply_v3(self, xs, Fs)
         G0, G1, G2 = self.gdims
         n_fields = len(xs)
         dtype = self.lat.dtype

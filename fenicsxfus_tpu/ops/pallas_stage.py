@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # v5e has far more physical VMEM than the 16MB default scoped limit; the
 # [1, G1, G2]-block kernels need ~17-24MB at the 72.5M-DOF benchmark size.
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 120 * 1024 * 1024
 
 
 KIND_FIELDS = {"linear": 1, "lossy": 2, "westervelt": 2, "focused": 2}

@@ -193,3 +193,56 @@ def test_fused_stage_all_face_abc(monkeypatch):
     for a, b in [(uf, ur), (vf, vr)]:
         scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-12
+
+
+@pytest.mark.parametrize("kind", ["linear", "lossy", "westervelt"])
+def test_fused_stage_v3(kind, monkeypatch):
+    """Single-pass v3 stage (ops/pallas_stage_v3.py) == reference scan, on
+    heterogeneous media (the production configuration)."""
+    from fenicsxfus_tpu.models.linear import LinearSpectralExplicit
+    from fenicsxfus_tpu.models.lossy import LossySpectralExplicit
+    from fenicsxfus_tpu.models.westervelt import WesterveltSpectralExplicit
+
+    monkeypatch.setenv("FUS_STAGE_V3", "1")
+    cls, kwargs = {
+        "linear": (LinearSpectralExplicit, {}),
+        "lossy": (LossySpectralExplicit, {"delta0": 4e-3}),
+        "westervelt": (
+            WesterveltSpectralExplicit, {"delta0": 4e-3, "beta0": 3.5}
+        ),
+    }[kind]
+    _fused_vs_reference(cls, kwargs, True, monkeypatch)
+
+
+def test_fused_stage_v3_all_face_abc(monkeypatch):
+    """v3 stage with ABC on all five non-source faces (PH1/HITU layout)."""
+    monkeypatch.setenv("FUS_STAGE_V3", "1")
+    test_fused_stage_all_face_abc(monkeypatch)
+
+
+@pytest.mark.parametrize("degree,grid", [(2, (9, 5, 7)), (3, (6, 4, 5)), (4, (8, 5, 6))])
+def test_pallas_v3_single_pass(degree, grid, monkeypatch):
+    """v3 single-kernel apply (ops/pallas_v3.py) == XLA lattice path, const
+    and heterogeneous, across be in {1, 2, 4} (n0 = 9/6/8)."""
+    monkeypatch.setenv("FUS_V3", "1")
+    mesh = create_box(grid, (0, 0, 0), (0.9, 0.7, 0.5))
+    ops = SEMOperators(mesh, degree, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    lat = ops.lattice
+    pk = LatticePallasStiffness(lat, tile_cols=64, interpret=True)
+    x = jnp.asarray(rng.standard_normal(ops.ndofs)).reshape(lat.gdims)
+    y_ref = lat.apply_scaled([(x, ops.pack_scales(1.7))])
+    y = pk.apply([x], [pk.pack_const(1.7)])
+    tol = 1e-11 * np.max(np.abs(np.asarray(y_ref)))
+    assert np.max(np.abs(np.asarray(y) - np.asarray(y_ref))) < tol
+    coeffs = [rng.uniform(0.5, 2.0, mesh.num_cells) for _ in range(2)]
+    xs = [
+        jnp.asarray(rng.standard_normal(ops.ndofs)).reshape(lat.gdims)
+        for _ in range(2)
+    ]
+    y_ref2 = lat.apply_scaled(
+        [(xx, lat.scales_field(c)) for xx, c in zip(xs, coeffs)]
+    )
+    y2 = pk.apply(xs, [pk.pack_field(c) for c in coeffs])
+    tol2 = 1e-11 * np.max(np.abs(np.asarray(y_ref2)))
+    assert np.max(np.abs(np.asarray(y2) - np.asarray(y_ref2))) < tol2
