@@ -169,8 +169,11 @@ class ExplicitModelBase(SpectralModelBase):
                     n: jnp.asarray(v, self.dtype) for n, v in packed.items()
                 }
         hetero = [F["F0"].shape[0] != 1 for F in Fs]
+        # v3 single-pass stage is the production path: 2.38 vs 2.01
+        # GDOF-RK4-steps/s at the 72.5M-DOF headline. FUS_STAGE_V3=0 pins
+        # the legacy two-kernel stage.
         stage_cls = FusedRKStage
-        if os.environ.get("FUS_STAGE_V3", "") == "1":
+        if os.environ.get("FUS_STAGE_V3", "1") != "0":
             from ..ops.pallas_stage_v3 import FusedRKStageV3
 
             stage_cls = FusedRKStageV3

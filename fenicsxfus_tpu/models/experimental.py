@@ -226,7 +226,13 @@ class LinearSpectralSponge(ExplicitModelBase):
         self.raw_stiff = {"coeff_u": np.full(nc, c0 * c0 / rho0)}
         self.consts["coeff_u"] = ops.stiff_coeff(np.full(nc, c0 * c0 / rho0))
         self.raw_nodal = {"delta_scales": delta / rho0}
-        self.consts["delta_scales"] = ops.pack_scales_nodal(delta / rho0)
+        # unstructured meshes have no lattice: pass the raw nodal array and
+        # let stiffness_apply_nodal's gather path evaluate it per cell
+        self.consts["delta_scales"] = (
+            ops.pack_scales_nodal(delta / rho0)
+            if ops.lattice is not None
+            else jnp.asarray(delta / rho0, dtype)
+        )
         self.consts["src_vec"] = ops.facet_vector(self.SOURCE_TAG, c0 * c0 / rho0)
         self.consts["src_vec_d"] = ops.facet_vector_nodal(
             self.SOURCE_TAG, delta / rho0

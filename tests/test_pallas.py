@@ -15,7 +15,8 @@ from fenicsxfus_tpu.ops.pallas_lattice import LatticePallasStiffness
 
 
 @pytest.mark.parametrize("degree", [2, 3, 4])
-def test_pallas_matches_lattice_const(degree):
+def test_pallas_matches_lattice_const(degree, monkeypatch):
+    monkeypatch.setenv("FUS_V3", "0")  # pin the legacy two-kernel path
     # deliberately awkward grid: ragged chunk plans, non-divisible tiles
     mesh = create_box((9, 5, 7), (0, 0, 0), (0.9, 0.7, 0.5))
     ops = SEMOperators(mesh, degree, dtype=jnp.float64)
@@ -29,8 +30,9 @@ def test_pallas_matches_lattice_const(degree):
 
 
 @pytest.mark.parametrize("n_fields", [1, 2])
-def test_pallas_matches_lattice_heterogeneous(n_fields):
+def test_pallas_matches_lattice_heterogeneous(n_fields, monkeypatch):
     """DG-0 field coefficients run the same fused kernels (VERDICT r1 #2)."""
+    monkeypatch.setenv("FUS_V3", "0")  # pin the legacy two-kernel path
     degree = 3
     mesh = create_box((6, 4, 5), (0, 0, 0), (1.2, 0.8, 1.0))
     ops = SEMOperators(mesh, degree, dtype=jnp.float64)
@@ -196,14 +198,15 @@ def test_fused_stage_all_face_abc(monkeypatch):
 
 
 @pytest.mark.parametrize("kind", ["linear", "lossy", "westervelt"])
-def test_fused_stage_v3(kind, monkeypatch):
-    """Single-pass v3 stage (ops/pallas_stage_v3.py) == reference scan, on
-    heterogeneous media (the production configuration)."""
+def test_fused_stage_v2_legacy(kind, monkeypatch):
+    """Legacy two-kernel v2 stage (FUS_STAGE_V3=0) == reference scan on
+    heterogeneous media. The default-path tests above exercise v3."""
     from fenicsxfus_tpu.models.linear import LinearSpectralExplicit
     from fenicsxfus_tpu.models.lossy import LossySpectralExplicit
     from fenicsxfus_tpu.models.westervelt import WesterveltSpectralExplicit
 
-    monkeypatch.setenv("FUS_STAGE_V3", "1")
+    monkeypatch.setenv("FUS_STAGE_V3", "0")
+    monkeypatch.setenv("FUS_V3", "0")
     cls, kwargs = {
         "linear": (LinearSpectralExplicit, {}),
         "lossy": (LossySpectralExplicit, {"delta0": 4e-3}),
@@ -214,9 +217,10 @@ def test_fused_stage_v3(kind, monkeypatch):
     _fused_vs_reference(cls, kwargs, True, monkeypatch)
 
 
-def test_fused_stage_v3_all_face_abc(monkeypatch):
-    """v3 stage with ABC on all five non-source faces (PH1/HITU layout)."""
-    monkeypatch.setenv("FUS_STAGE_V3", "1")
+def test_fused_stage_v2_all_face_abc(monkeypatch):
+    """v2 stage with ABC on all five non-source faces (PH1/HITU layout)."""
+    monkeypatch.setenv("FUS_STAGE_V3", "0")
+    monkeypatch.setenv("FUS_V3", "0")
     test_fused_stage_all_face_abc(monkeypatch)
 
 
