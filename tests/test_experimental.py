@@ -159,3 +159,42 @@ def test_focused_source_focal_gain():
     assert gain > 1.5, gain  # clear focal amplification
     off_axis = (np.abs(coords[:, 1]) > 0.4) & (np.abs(coords[:, 0] - F) < 0.1)
     assert un[near_focus].max() > 3 * un[off_axis].max()
+
+
+def test_sponge_on_unstructured_mesh_matches_lattice():
+    """Sponge model on a scrambled-vertex (no-lattice) mesh == the
+    structured-lattice solution (the linear_planewave2d_3 configuration:
+    unstructured mesh + sponge pad). Fields compared via lexicographic
+    DOF-coordinate matching."""
+    from fenicsxfus_tpu import create_rectangle
+    from fenicsxfus_tpu.core.mesh import Mesh
+
+    f0, p0, c0, rho0 = 0.5e6, 1.0, 1500.0, 1.0
+    delta0 = 2 * c0 / (2 * np.pi * f0) * 4.0
+    Lx, Ly = 0.2, 0.05
+    mesh_s = create_rectangle((20, 5), (0, 0), (Lx, Ly))
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(mesh_s.num_vertices)
+    v2 = np.empty_like(mesh_s.vertices)
+    v2[perm] = mesh_s.vertices
+    mesh_u = Mesh(dim=2, vertices=v2, cells=perm[mesh_s.cells])
+
+    h = Lx / 20
+    dt = 0.25 * h / (c0 * 16)
+    sols = []
+    for mesh in (mesh_s, mesh_u):
+        tag_boundaries(
+            mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > Lx - 1e-12}
+        )
+        eqn = LinearSpectralSponge(
+            mesh, None, 4, c0, rho0, delta0, f0, p0, c0, sponge_start=0.12,
+            dtype=jnp.float64,
+        )
+        eqn.init()
+        u, v, tf = eqn.rk4(0.0, 60 * dt, dt)
+        coords = eqn.ops.space.dof_coords
+        order = np.lexsort((coords[:, 1], coords[:, 0]))
+        sols.append(np.asarray(u)[order])
+    assert sols[1].shape == sols[0].shape
+    scale = max(np.abs(sols[0]).max(), 1e-30)
+    assert np.abs(sols[1] - sols[0]).max() / scale < 1e-10
