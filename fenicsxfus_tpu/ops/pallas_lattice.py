@@ -214,8 +214,18 @@ class LatticePallasStiffness:
     # ------------------------------------------------------------- kernels
 
     def _prec(self):
+        import os
+
         from .lattice import _precision
 
+        # "b3": manual 3-pass bf16 emulation of Precision.HIGH (Mosaic only
+        # lowers DEFAULT/HIGHEST). z = B_hi·x_hi + B_hi·x_lo + B_lo·x_hi with
+        # fp32 accumulation — per-MAC error ~2^-16 vs HIGHEST's ~2^-24 at
+        # half the MXU passes. Accuracy-gated on the planewave oracle before
+        # use; the XLA lattice fallback keeps jax Precision semantics.
+        name = os.environ.get("FUS_PRECISION", "").lower()
+        if name in ("b3", "b4"):
+            return name
         return _precision()
 
     def _axis_chunk_apply(self, x, plan, bk_by_cells, F, hetero, prec, last_axis):
@@ -229,6 +239,25 @@ class LatticePallasStiffness:
         both variants.
         """
         N, p = self.N, self.p
+
+        def dot_bsplit(bk, xw, dims, passes):
+            """Split-bf16 emulation (see ``_prec``): 3 passes drop Bl·xl
+            (per-MAC ~2^-16); 4 passes include it (~2^-18)."""
+            f32, bf16 = x.dtype, jnp.bfloat16
+            bh = bk.astype(bf16)
+            bl = (bk - bh.astype(f32)).astype(bf16)
+            xh = xw.astype(bf16)
+            xl = (xw - xh.astype(f32)).astype(bf16)
+            kw = dict(preferred_element_type=f32)
+            z = (
+                jax.lax.dot_general(bh, xh, dims, **kw)
+                + jax.lax.dot_general(bh, xl, dims, **kw)
+                + jax.lax.dot_general(bl, xh, dims, **kw)
+            )
+            if passes >= 4:
+                z = z + jax.lax.dot_general(bl, xl, dims, **kw)
+            return z
+
         zs = []
         for lo_c, cells in plan:
             lo = lo_c * p
@@ -236,17 +265,16 @@ class LatticePallasStiffness:
             bk = bk_by_cells[cells]
             if last_axis:
                 xw = x[:, lo : lo + W]
-                z = jax.lax.dot_general(
-                    bk,
-                    xw,
-                    (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=x.dtype,
-                )  # [cells*N, T]
+                dims = (((1,), (1,)), ((), ()))
             else:
                 xw = x[lo : lo + W, :]
-                z = jnp.dot(
-                    bk, xw, precision=prec, preferred_element_type=x.dtype
+                dims = (((1,), (0,)), ((), ()))
+            if prec in ("b3", "b4"):
+                z = dot_bsplit(bk, xw, dims, int(prec[1]))  # [cells*N, T]
+            else:
+                z = jax.lax.dot_general(
+                    bk, xw, dims, precision=prec,
+                    preferred_element_type=x.dtype,
                 )  # [cells*N, T]
             z = z.reshape(cells, N, z.shape[-1])
             s = F[lo_c : lo_c + cells, :] if hetero else F[0:1, :]

@@ -250,3 +250,28 @@ def test_pallas_v3_single_pass(degree, grid, monkeypatch):
     y2 = pk.apply(xs, [pk.pack_field(c) for c in coeffs])
     tol2 = 1e-11 * np.max(np.abs(np.asarray(y_ref2)))
     assert np.max(np.abs(np.asarray(y2) - np.asarray(y_ref2))) < tol2
+
+
+@pytest.mark.parametrize("prec,tol", [("b3", 5e-3), ("b4", 5e-5)])
+def test_pallas_bsplit_precision(prec, tol, monkeypatch):
+    """Split-bf16 MXU emulation (FUS_PRECISION=b3/b4): fewer passes than
+    HIGHEST (3/4 vs 6) at a bounded, measured accuracy cost per apply
+    (b3 ~1e-3 from the dropped Bl·xl term under stiffness-row cancellation,
+    b4 ~5e-6). fp32 fields, fp64 lattice reference."""
+    monkeypatch.setenv("FUS_PRECISION", prec)
+    mesh = create_box((8, 5, 6), (0, 0, 0), (0.9, 0.7, 0.5))
+    ops = SEMOperators(mesh, 4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    lat = ops.lattice
+    pk = LatticePallasStiffness(lat, tile_cols=64, interpret=True)
+    x = jnp.asarray(rng.standard_normal(ops.ndofs), jnp.float32).reshape(lat.gdims)
+    y_ref = lat.apply_scaled([(x, ops.pack_scales(1.7))])
+    y = pk.apply([x], [pk.pack_const(1.7)])
+    rel = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+    assert rel < tol, rel
+    # heterogeneous coefficients run the same dots
+    c = rng.uniform(0.5, 2.0, mesh.num_cells)
+    y2 = pk.apply([x], [pk.pack_field(c)])
+    y2_ref = lat.apply_scaled([(x, lat.scales_field(c))])
+    rel2 = float(jnp.max(jnp.abs(y2 - y2_ref)) / jnp.max(jnp.abs(y2_ref)))
+    assert rel2 < tol, rel2
