@@ -131,59 +131,53 @@ class FusedRKStageV3(FusedRKStage):
                 carry = refs[i + 1]
             alpha, beta = scal_r[0, 0], scal_r[0, 1]
 
-            def srow(j, r):
-                """Row r of state field j's axis-0 window (r == bep → the
-                next block's first plane via the strided operand)."""
-                return sm[j][r, :, :] if r < bep else sb[j][0, :, :]
-
-            def stage_rows(r):
-                u0r, v0r = srow(0, r), srow(1, r)
-                kvpr = srow(2, r) if has_kvp else None
-                kvppr = srow(3, r) if has_kvpp else None
-                return self._stage_fields(u0r, v0r, kvpr, kvppr, alpha, beta)
+            def ld(ref, r):
+                """Plane r of a [rows, ...] block ref (dynamic r)."""
+                idx = (pl.ds(r, 1),) + (slice(None),) * (len(ref.shape) - 1)
+                return ref[idx][0]
 
             def axes12(f, plane_2d, r):
                 y = pk._axis_chunk_apply(
-                    plane_2d, plan1, bks, F1s[f][r, :, :], hetero[f], prec,
+                    plane_2d, plan1, bks, ld(F1s[f], r), hetero[f], prec,
                     last_axis=False,
                 )
                 y2 = pk._axis_chunk_apply(
-                    plane_2d, plan2, bks, F2s[f][r, :, :], hetero[f], prec,
+                    plane_2d, plan2, bks, ld(F2s[f], r), hetero[f], prec,
                     last_axis=True,
                 )
                 return y + y2.T
 
-            def emit(r, un_r, vn_r, acc):
+            def emit(r, srows, un_r, vn_r, acc):
                 """Epilogue for output row r: facet corrections, mass
                 divide, and (final stage) the step update."""
                 g0 = b * bep + r
                 coefs = [scal_r[0, 2 + j] for j in range(nfa - 1)] + ["abc"]
                 fvals = [
-                    (xp[:, :, :], ye[r, :, :], ze[r, :, :])
+                    (xp[:, :, :], ld(ye, r), ld(ze, r))
                     for (xp, ye, ze) in fv
                 ]
                 corr = _facet_corrections(fvals, coefs, vn_r, g0, G0)
-                dvals = [d[r, :, :] for d in dense_r]
+                dvals = [ld(d, r) for d in dense_r]
                 kv = _epilogue(kind, acc, un_r, vn_r, dvals, corr)
                 if not final:
-                    out_kv[r, :, :] = kv
+                    out_kv[pl.ds(r, 1), :, :] = kv[None, :, :]
                     return
                 kvs = (
-                    [pr[r, :, :] for pr in prev]
-                    + ([srow(3, r)] if has_kvpp else [])
-                    + ([srow(2, r)] if has_kvp else [])
+                    [ld(pr, r) for pr in prev]
+                    + ([srows[3]] if has_kvpp else [])
+                    + ([srows[2]] if has_kvp else [])
                     + [kv]
                 )
                 ns = len(kvs)
                 off = 2 + (nfa - 1)
-                u1 = srow(0, r) + scal_r[0, off] * srow(1, r)
+                u1 = srows[0] + scal_r[0, off] * srows[1]
                 for j in range(ns - 1):
                     u1 = u1 + scal_r[0, off + 1 + j] * kvs[j]
-                v1 = srow(1, r)
+                v1 = srows[1]
                 for i_s in range(ns):
                     v1 = v1 + scal_r[0, off + 1 + (ns - 1) + i_s] * kvs[i_s]
-                out_u[r, :, :] = u1
-                out_v[r, :, :] = v1
+                out_u[pl.ds(r, 1), :, :] = u1[None, :, :]
+                out_v[pl.ds(r, 1), :, :] = v1[None, :, :]
 
             @pl.when(b == 0)
             def _():
@@ -191,11 +185,40 @@ class FusedRKStageV3(FusedRKStage):
 
             @pl.when(b < B)
             def _():
-                # stage fields for every window row, built once
-                rows = [stage_rows(r) for r in range(bep + 1)]
-                fields = [[un for un, _ in rows], [vn for _, vn in rows]]
-                boundary = None
-                for e in range(be):
+                # One fori_loop iteration per element: the body is traced
+                # once (the unrolled original compiled ~be× the Mosaic
+                # program — 15+ min at production sizes).
+                def element(e, boundary):
+                    # state rows of the element's N+1-row window, loaded
+                    # once; row e·p+p comes from the next element or (last
+                    # element) the next block's strided boundary operand
+                    st_rows = []
+                    for j in range(N):
+                        r = e * p + j
+                        if j < p:
+                            st_rows.append(
+                                [ld(sm[q], r) for q in range(ns_state)]
+                            )
+                        else:
+                            rm = jnp.minimum(r, bep - 1)
+                            st_rows.append([
+                                jnp.where(
+                                    e == be - 1,
+                                    sb[q][0, :, :],
+                                    ld(sm[q], rm),
+                                )
+                                for q in range(ns_state)
+                            ])
+                    rows = [
+                        self._stage_fields(
+                            sr[0], sr[1],
+                            sr[2] if has_kvp else None,
+                            sr[3] if has_kvpp else None,
+                            alpha, beta,
+                        )
+                        for sr in st_rows
+                    ]
+                    fields = [[un for un, _ in rows], [vn for _, vn in rows]]
                     z_rows = []
                     for k in range(N):
                         acc = None
@@ -203,9 +226,13 @@ class FusedRKStageV3(FusedRKStage):
                             zk = None
                             for j in range(N):
                                 w = float(K1[k, j])
-                                t = w * fields[f][e * p + j]
+                                t = w * fields[f][j]
                                 zk = t if zk is None else zk + t
-                            s = F0s[f][e if hetero[f] else 0, :, :]
+                            s = (
+                                ld(F0s[f], e)
+                                if hetero[f]
+                                else F0s[f][0, :, :]
+                            )
                             zk = zk * s
                             acc = zk if acc is None else acc + zk
                         z_rows.append(acc)
@@ -213,25 +240,32 @@ class FusedRKStageV3(FusedRKStage):
                         r = e * p + k
                         y0 = z_rows[k]
                         if k == 0:
-                            y0 = y0 + (carry[:, :] if e == 0 else boundary)
-                        un_r, vn_r = rows[r]
+                            y0 = y0 + boundary
+                        un_r, vn_r = rows[k]
                         acc12 = None
                         for f in range(nf):
-                            t = axes12(f, fields[f][r], r)
+                            t = axes12(f, fields[f][k], r)
                             acc12 = t if acc12 is None else acc12 + t
-                        emit(r, un_r, vn_r, y0 + acc12)
-                    boundary = z_rows[p]
-                carry[:, :] = boundary
+                        emit(r, st_rows[k], un_r, vn_r, y0 + acc12)
+                    return z_rows[p]
+
+                carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
 
             @pl.when(b == B)
             def _():
-                un_r, vn_r = stage_rows(0)
+                srows0 = [sm[q][0, :, :] for q in range(ns_state)]
+                un_r, vn_r = self._stage_fields(
+                    srows0[0], srows0[1],
+                    srows0[2] if has_kvp else None,
+                    srows0[3] if has_kvpp else None,
+                    alpha, beta,
+                )
                 fields0 = (un_r,) if nf == 1 else (un_r, vn_r)
                 acc12 = None
                 for f in range(nf):
                     t = axes12(f, fields0[f], 0)
                     acc12 = t if acc12 is None else acc12 + t
-                emit(0, un_r, vn_r, carry[:, :] + acc12)
+                emit(0, srows0, un_r, vn_r, carry[:, :] + acc12)
 
         # ---- operands
         args, specs = [], []

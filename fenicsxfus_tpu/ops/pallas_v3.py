@@ -102,19 +102,18 @@ def apply_v3(pk, xs, Fs):
         out_ref = refs[i]
         carry = refs[i + 1]
 
-        def win(f, r):
-            """Row r of the block-b axis-0 window (r == bep → next block's
-            first row, from the strided boundary operand)."""
-            return xm[f][r, :, :] if r < bep else xb[f][0, :, :]
+        def ld(ref, r):
+            """Plane r of a [rows, G1, G2] block ref (dynamic r)."""
+            return ref[pl.ds(r, 1), :, :][0, :, :]
 
         def axes12(f, plane_2d, r):
             """axes-1/2 contribution of one [G1, G2] plane (v2 kernel B)."""
             y = pk._axis_chunk_apply(
-                plane_2d, plan1, bks, F1s[f][r, :, :], hetero[f], prec,
+                plane_2d, plan1, bks, ld(F1s[f], r), hetero[f], prec,
                 last_axis=False,
             )
             y2 = pk._axis_chunk_apply(
-                plane_2d, plan2, bks, F2s[f][r, :, :], hetero[f], prec,
+                plane_2d, plan2, bks, ld(F2s[f], r), hetero[f], prec,
                 last_axis=True,
             )
             return y + y2.T
@@ -126,8 +125,22 @@ def apply_v3(pk, xs, Fs):
 
         @pl.when(b < B)
         def _():
-            boundary = None
-            for e in range(be):
+            # One fori_loop iteration per element (the per-element body is
+            # traced/compiled ONCE — the unrolled original compiled ~be×
+            # the Mosaic program, 15+ min at production sizes).
+            def element(e, boundary):
+                # the element's N+1 window rows per field, loaded once and
+                # reused by the k-loop below. Row e·p+p belongs to the next
+                # element (or, for the block's last element, to the next
+                # BLOCK via the strided boundary operand).
+                rows = []
+                for f in range(nf):
+                    rf = [ld(xm[f], e * p + j) for j in range(p)]
+                    last_main = ld(xm[f], jnp.minimum(e * p + p, bep - 1))
+                    rf.append(
+                        jnp.where(e == be - 1, xb[f][0, :, :], last_main)
+                    )
+                    rows.append(rf)
                 z_rows = []
                 for k in range(N):
                     acc = None
@@ -135,9 +148,13 @@ def apply_v3(pk, xs, Fs):
                         zk = None
                         for j in range(N):
                             w = float(K1[k, j])
-                            t = w * win(f, e * p + j)
+                            t = w * rows[f][j]
                             zk = t if zk is None else zk + t
-                        s = F0s[f][e if hetero[f] else 0, :, :]
+                        s = (
+                            ld(F0s[f], e)
+                            if hetero[f]
+                            else F0s[f][0, :, :]
+                        )
                         zk = zk * s
                         acc = zk if acc is None else acc + zk
                     z_rows.append(acc)
@@ -145,22 +162,23 @@ def apply_v3(pk, xs, Fs):
                     r = e * p + k
                     y0 = z_rows[k]
                     if k == 0:
-                        y0 = y0 + (carry[:, :] if e == 0 else boundary)
+                        y0 = y0 + boundary
                     acc12 = None
                     for f in range(nf):
-                        t = axes12(f, win(f, r), r)
+                        t = axes12(f, rows[f][k], r)
                         acc12 = t if acc12 is None else acc12 + t
-                    out_ref[r, :, :] = y0 + acc12
-                boundary = z_rows[p]  # k == p: shared with the next element
-            carry[:, :] = boundary
+                    out_ref[pl.ds(r, 1), :, :] = (y0 + acc12)[None, :, :]
+                return z_rows[p]  # k == p: shared with the next element
+
+            carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
 
         @pl.when(b == B)
         def _():
             # final lattice row n0*p = first row of this (padded) block:
-            # axis-0 is complete in the carry, axes-1/2 from its own plane
+            # axis-0 is complete in the carry, axes-1/2 need only its plane
             acc12 = None
             for f in range(nf):
-                t = axes12(f, win(f, 0), 0)
+                t = axes12(f, xm[f][0, :, :], 0)
                 acc12 = t if acc12 is None else acc12 + t
             out_ref[0, :, :] = carry[:, :] + acc12
 
