@@ -73,6 +73,14 @@ def build_csr_plan(dofmap, ndofs):
     return inv, K
 
 
+# persistent XLA compilation cache (big Mosaic programs compile slowly)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
 def main(nx=28, degree=4, with_segsum=False):
     import jax
     import jax.numpy as jnp
