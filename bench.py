@@ -79,11 +79,16 @@ def main():
     ops = model.ops
     pk = ops.pallas2
     if pk is not None:
-        xs = jax.random.normal(jax.random.PRNGKey(0), ops.lattice.gdims, dtype)
-        y_p = pk.apply([xs], [pk.pack_const(1.0)])
-        y_x = ops.lattice.apply_scaled([(xs, ops.pack_scales(1.0))])
-        rel = float(jnp.max(jnp.abs(y_p - y_x)) / jnp.max(jnp.abs(y_x)))
-        if not np.isfinite(rel) or rel > 1e-4:
+        try:
+            xs = jax.random.normal(jax.random.PRNGKey(0), ops.lattice.gdims, dtype)
+            y_p = pk.apply([xs], [pk.pack_const(1.0)])
+            y_x = ops.lattice.apply_scaled([(xs, ops.pack_scales(1.0))])
+            rel = float(jnp.max(jnp.abs(y_p - y_x)) / jnp.max(jnp.abs(y_x)))
+            ok = np.isfinite(rel) and rel <= 1e-4
+        except Exception as e:  # compile/runtime failure == failed check
+            _log(f"pallas self-check raised {type(e).__name__}: {e}")
+            rel, ok = float("nan"), False
+        if not ok:
             _log(f"pallas self-check FAILED (rel {rel:.2e}); using XLA path")
             os.environ["FUS_PALLAS"] = "0"
             model = LinearSpectralExplicit(
@@ -104,9 +109,25 @@ def main():
     # readback forces real completion: block_until_ready returns early on
     # the axon relay backend.
     _log("warmup solve (compile)")
-    uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
-    _log("warmup dispatched; forcing readback")
-    _ = float(jnp.sum(uw))
+    try:
+        uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
+        _log("warmup dispatched; forcing readback")
+        _ = float(jnp.sum(uw))
+    except Exception as e:
+        # the fused stage kernel compiles here (a different program from the
+        # self-checked bare apply) — fall back to the XLA scan on failure
+        _log(f"fused-stage warmup raised {type(e).__name__}: {e}; XLA fallback")
+        os.environ["FUS_PALLAS"] = "0"
+        model = LinearSpectralExplicit(
+            mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
+        )
+        model.init()
+        model._build()
+        solve = model._solve
+        consts = model.consts
+        u, v = model.u_n, model.v_n
+        uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
+        _ = float(jnp.sum(uw))
     _log("warmup complete")
 
     t0 = time.perf_counter()
