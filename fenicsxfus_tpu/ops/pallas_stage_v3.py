@@ -249,7 +249,18 @@ class FusedRKStageV3(FusedRKStage):
                         emit(r, st_rows[k], un_r, vn_r, y0 + acc12)
                     return z_rows[p]
 
-                carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
+                import os as _os
+
+                if _os.environ.get("FUS_V3_UNROLL", "") == "1":
+                    # fallback: same body, concrete e (pre-loop behavior)
+                    bnd = carry[:, :]
+                    for e in range(be):
+                        bnd = element(e, bnd)
+                    carry[:, :] = bnd
+                else:
+                    carry[:, :] = jax.lax.fori_loop(
+                        0, be, element, carry[:, :]
+                    )
 
             @pl.when(b == B)
             def _():

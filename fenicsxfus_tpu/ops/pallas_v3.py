@@ -170,7 +170,14 @@ def apply_v3(pk, xs, Fs):
                     out_ref[pl.ds(r, 1), :, :] = (y0 + acc12)[None, :, :]
                 return z_rows[p]  # k == p: shared with the next element
 
-            carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
+            if os.environ.get("FUS_V3_UNROLL", "") == "1":
+                # fallback: same body, concrete e (the pre-loop behavior)
+                bnd = carry[:, :]
+                for e in range(be):
+                    bnd = element(e, bnd)
+                carry[:, :] = bnd
+            else:
+                carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
 
         @pl.when(b == B)
         def _():
