@@ -251,16 +251,17 @@ class FusedRKStageV3(FusedRKStage):
 
                 import os as _os
 
-                if _os.environ.get("FUS_V3_UNROLL", "") == "1":
-                    # fallback: same body, concrete e (pre-loop behavior)
+                # default: unrolled (concrete e) — the TPU-validated shape;
+                # FUS_V3_LOOP=1 selects the fori body (~be× smaller program)
+                if _os.environ.get("FUS_V3_LOOP", "") == "1":
+                    carry[:, :] = jax.lax.fori_loop(
+                        0, be, element, carry[:, :]
+                    )
+                else:
                     bnd = carry[:, :]
                     for e in range(be):
                         bnd = element(e, bnd)
                     carry[:, :] = bnd
-                else:
-                    carry[:, :] = jax.lax.fori_loop(
-                        0, be, element, carry[:, :]
-                    )
 
             @pl.when(b == B)
             def _():
