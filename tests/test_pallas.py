@@ -275,3 +275,27 @@ def test_pallas_bsplit_precision(prec, tol, monkeypatch):
     y2_ref = lat.apply_scaled([(x, lat.scales_field(c))])
     rel2 = float(jnp.max(jnp.abs(y2 - y2_ref)) / jnp.max(jnp.abs(y2_ref)))
     assert rel2 < tol, rel2
+
+
+def test_pallas_v3_loop_variant(monkeypatch):
+    """FUS_V3_LOOP=1 (fori_loop element body) == the unrolled default, apply
+    and full fused stage."""
+    monkeypatch.setenv("FUS_V3_LOOP", "1")
+    mesh = create_box((8, 5, 6), (0, 0, 0), (0.9, 0.7, 0.5))
+    ops = SEMOperators(mesh, 3, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    lat = ops.lattice
+    pk = LatticePallasStiffness(lat, tile_cols=64, interpret=True)
+    x = jnp.asarray(rng.standard_normal(ops.ndofs)).reshape(lat.gdims)
+    c = rng.uniform(0.5, 2.0, mesh.num_cells)
+    y = pk.apply([x], [pk.pack_field(c)])
+    y_ref = lat.apply_scaled([(x, lat.scales_field(c))])
+    assert np.max(np.abs(np.asarray(y - y_ref))) < 1e-11 * np.max(
+        np.abs(np.asarray(y_ref))
+    )
+    from fenicsxfus_tpu.models.westervelt import WesterveltSpectralExplicit
+
+    _fused_vs_reference(
+        WesterveltSpectralExplicit, {"delta0": 4e-3, "beta0": 3.5}, True,
+        monkeypatch,
+    )
