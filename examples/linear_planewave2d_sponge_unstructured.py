@@ -28,7 +28,7 @@ def main(degree=4):
     mesh = read_mesh(MESH)
     f0, p0 = 0.5e6, 60000.0
     c0, rho0 = 1500.0, 1000.0
-    delta0 = compute_diffusivity_of_sound(f0, c0, 1.0)
+    delta0 = compute_diffusivity_of_sound(2.0 * np.pi * f0, c0, 1.0)
     L = 0.12
     h = mesh.h_min()
     dt_cfl = 0.4 * h / (c0 * degree**2)

@@ -28,7 +28,7 @@ def main(epw=4, degree=4, rk_order=2, out="lossy_planewave2d_imp"):
     w0 = 2.0 * 3.141592653589793 * f0
     import numpy as np
 
-    delta0 = compute_diffusivity_of_sound(w0, c0, alpha_dB / 20 * np.log(10))
+    delta0 = compute_diffusivity_of_sound(w0, c0, alpha_dB)
     L = 0.12
     lmbda = c0 / f0
     nx = int(epw * L / lmbda + 1)

@@ -29,7 +29,7 @@ def main(epw=6, degree=4, out="westervelt_planar2d"):
     c0, rho0, beta0 = 1500.0, 1000.0, 3.5
     alpha_dB = 2.0
     w0 = 2.0 * np.pi * f0
-    delta0 = compute_diffusivity_of_sound(w0, c0, alpha_dB / 20 * np.log(10))
+    delta0 = compute_diffusivity_of_sound(w0, c0, alpha_dB)
     L = 0.12
     a = 0.01
     lmbda = c0 / f0

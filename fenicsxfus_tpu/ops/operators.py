@@ -383,29 +383,7 @@ class SEMOperators:
         """Sum-factorised per-cell stiffness action on gathered fields.
         ``qcoeff`` optionally scales the flux at each quadrature point
         (nodal-coefficient variant)."""
-        D, G, d = self.D, self.G, self.d
-        s = (lambda g: g * qcoeff) if qcoeff is not None else (lambda g: g)
-        if d == 1:
-            du = _einsum("qi,ci->cq", D, z)
-            g = s(G[..., 0] * du)
-            return _einsum("qi,cq->ci", D, g)
-        if d == 2:
-            d0 = _einsum("qi,cij->cqj", D, z)
-            d1 = _einsum("qj,cij->ciq", D, z)
-            g0 = s(G[..., 0] * d0 + G[..., 1] * d1)
-            g1 = s(G[..., 1] * d0 + G[..., 2] * d1)
-            return _einsum("qi,cqj->cij", D, g0) + _einsum("qj,ciq->cij", D, g1)
-        d0 = _einsum("qi,cijk->cqjk", D, z)
-        d1 = _einsum("qj,cijk->ciqk", D, z)
-        d2 = _einsum("qk,cijk->cijq", D, z)
-        g0 = s(G[..., 0] * d0 + G[..., 1] * d1 + G[..., 2] * d2)
-        g1 = s(G[..., 1] * d0 + G[..., 3] * d1 + G[..., 4] * d2)
-        g2 = s(G[..., 2] * d0 + G[..., 4] * d1 + G[..., 5] * d2)
-        return (
-            _einsum("qi,cqjk->cijk", D, g0)
-            + _einsum("qj,ciqk->cijk", D, g1)
-            + _einsum("qk,cijq->cijk", D, g2)
-        )
+        return stiffness_cells(self.D, self.G, z, self.d, qcoeff)
 
     def stiffness_diag(self, cell_coeff) -> jnp.ndarray:
         """Assembled diagonal of the stiffness matrix (Jacobi preconditioner
@@ -523,6 +501,37 @@ def _as_cell_array(coeff, num_cells: int, dtype):
     arr = jnp.asarray(coeff, dtype)
     assert arr.shape == (num_cells,), f"DG0 coefficient must be [{num_cells}]"
     return arr
+
+
+def stiffness_cells(D, G, z: jnp.ndarray, d: int, qcoeff=None) -> jnp.ndarray:
+    """Functional sum-factorised per-cell stiffness action (reference
+    ``cpp/fenicsx-sf/common/spectral_op.hpp:173-243``): forward
+    D-contractions per axis, symmetric-G quadrature transform, transposed
+    D-contractions. ``G``: [Nc or 1, (N,)*d, nsym]. Module-level so the
+    sharded unstructured path (``parallel/unstructured.py``) can apply it
+    with per-device *traced* geometry."""
+    s = (lambda g: g * qcoeff) if qcoeff is not None else (lambda g: g)
+    if d == 1:
+        du = _einsum("qi,ci->cq", D, z)
+        g = s(G[..., 0] * du)
+        return _einsum("qi,cq->ci", D, g)
+    if d == 2:
+        d0 = _einsum("qi,cij->cqj", D, z)
+        d1 = _einsum("qj,cij->ciq", D, z)
+        g0 = s(G[..., 0] * d0 + G[..., 1] * d1)
+        g1 = s(G[..., 1] * d0 + G[..., 2] * d1)
+        return _einsum("qi,cqj->cij", D, g0) + _einsum("qj,ciq->cij", D, g1)
+    d0 = _einsum("qi,cijk->cqjk", D, z)
+    d1 = _einsum("qj,cijk->ciqk", D, z)
+    d2 = _einsum("qk,cijk->cijq", D, z)
+    g0 = s(G[..., 0] * d0 + G[..., 1] * d1 + G[..., 2] * d2)
+    g1 = s(G[..., 1] * d0 + G[..., 3] * d1 + G[..., 4] * d2)
+    g2 = s(G[..., 2] * d0 + G[..., 4] * d1 + G[..., 5] * d2)
+    return (
+        _einsum("qi,cqjk->cijk", D, g0)
+        + _einsum("qj,ciqk->cijk", D, g1)
+        + _einsum("qk,cijq->cijk", D, g2)
+    )
 
 
 def _reference_stiffness_matrix(N: int, d: int, G0: np.ndarray) -> np.ndarray:

@@ -25,6 +25,31 @@ def test_diffusivity_conversion():
     assert abs(d - 2 * aNp * c0**3 / w0**2) < 1e-18
 
 
+def test_examples_delta_convention():
+    """compute_diffusivity_of_sound takes attenuation in dB/m and converts to
+    Np internally (utils.py:13). Pin the example-level convention: no caller
+    may pre-convert (``alpha/20*log(10)``) or pass a bare frequency for ω.
+    Regression for the round-2 double-conversion bugs (VERDICT r2 weak #5)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    pat = re.compile(r"compute_diffusivity_of_sound\(([^)]*)\)")
+    for d in ("examples", "benchmarks", "experiments"):
+        for f in (root / d).rglob("*.py"):
+            src = f.read_text()
+            for m in pat.finditer(src):
+                args = m.group(1)
+                assert "log(10)" not in args and "log10" not in args, (
+                    f"{f}: pre-converted dB->Np passed to "
+                    f"compute_diffusivity_of_sound ({args}); pass dB/m"
+                )
+                first = args.split(",")[0].strip()
+                assert first.startswith(("w0", "W0", "2")), (
+                    f"{f}: first arg must be angular frequency ω, got {first!r}"
+                )
+
+
 def test_eval_function_polynomial_exact():
     """GLL interpolation evaluates polynomials of degree <= p exactly at
     arbitrary interior points (incl. a distorted mesh)."""
