@@ -70,6 +70,16 @@ class GridDecomposition:
     def __init__(self, mesh, degree: int, dshape, dtype):
         if mesh.grid_shape is None:
             raise ValueError("grid decomposition needs a structured mesh")
+        if getattr(mesh, "uniform_hint", True) is False:
+            # deformed (e.g. bowl-fitted, core/bowl.py) lattices: the grid
+            # decomposition assumes uniform geometry everywhere — sharding
+            # one would silently drop the deformation. Use the unstructured
+            # sharded solver (parallel/unstructured.py) or single-device.
+            raise ValueError(
+                "grid decomposition requires a uniform lattice; this mesh "
+                "is deformed (uniform_hint=False) — use "
+                "ShardedUnstructuredExplicitSolver or a single device"
+            )
         self._setup(
             mesh.grid_shape,
             mesh.vertices.min(axis=0),
@@ -178,6 +188,34 @@ class GridDecomposition:
         for didx in np.ndindex(*self.dshape):
             full[self._block_slices(didx)] = s[didx]
         return full[tuple(slice(0, g) for g in self.Gs)].reshape(-1)
+
+    def locate_sensors(self, points):
+        """Snap sensor ``points`` [dim, n] to the global GLL lattice and
+        map to (device, local lattice coords): ``dev`` [n] linear device
+        index (row-major over ``dshape``) and ``loc`` [dim, n] with the
+        sharded axes given as LOCAL coordinates on that device. Sensors on
+        replicated interface planes go to the lowest-index holder."""
+        from ..core.gll import gll_points_weights_01
+
+        pts = np.asarray(points, np.float64)
+        p = self.degree
+        gll, _ = gll_points_weights_01(p + 1)
+        dim = len(self.grid)
+        coords = []
+        for a in range(dim):
+            h = (self.hi[a] - self.lo[a]) / self.grid[a]
+            xi = (pts[a] - self.lo[a]) / h
+            cell = np.clip(np.floor(xi).astype(np.int64), 0, self.grid[a] - 1)
+            loc = np.clip(xi - cell, 0.0, 1.0)
+            node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
+            coords.append(cell * p + node)
+        dev_coords, loc_coords = [], []
+        for a in range(self.na):
+            da = np.minimum(coords[a] // (self.Ls[a] - 1), self.dshape[a] - 1)
+            dev_coords.append(da)
+            loc_coords.append(coords[a] - da * (self.Ls[a] - 1))
+        dev = np.ravel_multi_index(tuple(dev_coords), self.dshape)
+        return dev, np.stack(loc_coords + coords[self.na:])
 
     def _pad_cells(self, arr_cells, pad_value=0.0):
         """Global cell array [Nc] → per-device blocks [ndev, cells_per_dev]."""
@@ -314,11 +352,10 @@ class ShardedExplicitSolver2D:
         self.rhs_pure = type(model).rhs_pure
         self._run = None
 
-    def _build(self):
-        dec = self.dec
+    def _local_step_fn(self):
         a, b, c = explicit_tables(self.model.rk_order)
         rhs = self.rhs_pure
-        ops = dec.ops
+        ops = self.dec.ops
 
         def local_step(consts, carry, dtn):
             u0, v0, t = carry
@@ -334,6 +371,19 @@ class ShardedExplicitSolver2D:
                 v_acc = v_acc + (b[i] * dtn) * kv
             return (u_acc, v_acc, t + dtn), None
 
+        return local_step
+
+    def _consts_spec(self):
+        names = self.dec.axis_names
+        return jax.tree.map(
+            lambda x: P(names) if getattr(x, "ndim", 0) >= 1 else P(),
+            self.consts,
+        )
+
+    def _build(self):
+        dec = self.dec
+        local_step = self._local_step_fn()
+
         def local_run(consts, u, v, t0, dts):
             consts = _local_consts(consts)
             u, v = u[0], v[0]
@@ -343,14 +393,10 @@ class ShardedExplicitSolver2D:
             return u[None], v[None], t
 
         names = dec.axis_names
-        spec_consts = jax.tree.map(
-            lambda x: P(names) if getattr(x, "ndim", 0) >= 1 else P(),
-            self.consts,
-        )
         sharded = jax.shard_map(
             local_run,
             mesh=dec.jmesh,
-            in_specs=(spec_consts, P(names), P(names), P(), P()),
+            in_specs=(self._consts_spec(), P(names), P(names), P(), P()),
             out_specs=(P(names), P(names), P()),
             check_vma=False,
         )
@@ -369,6 +415,94 @@ class ShardedExplicitSolver2D:
         )
         return _store_stacked(self, us, vs, t0 + float(np.sum(dts)))
 
+    # -- in-scan sensor recording (sharded) --------------------------------
+
+    def _sensor_plan(self, points):
+        """Static recording plan (see ``slab.ShardedExplicitSolver``): the
+        extraction box spans the full local extent of every SHARDED axis
+        (identical shape on all devices — SPMD) and the sensors' lateral
+        extent on the unsharded axes."""
+        dec = self.dec
+        dev, loc = dec.locate_sensors(points)
+        dim = loc.shape[0]
+        na = dec.na
+        gd_local = tuple(dec.Ls) + tuple(dec.gdims[na:])
+        lo_box = [0] * na + [int(loc[a].min()) for a in range(na, dim)]
+        hi_box = list(dec.Ls) + [int(loc[a].max()) + 1 for a in range(na, dim)]
+        box = tuple(h - l for l, h in zip(lo_box, hi_box))
+        n = dev.size
+        m = max(int(np.max(np.bincount(dev, minlength=dec.ndev))), 1)
+        loc_tab = np.zeros((dec.ndev, m), np.int32)
+        slot = np.zeros(n, np.int64)
+        counts = np.zeros(dec.ndev, np.int64)
+        for j in range(n):
+            dd = int(dev[j])
+            flat = np.ravel_multi_index(
+                tuple(int(loc[a][j]) - lo_box[a] for a in range(dim)), box
+            )
+            loc_tab[dd, counts[dd]] = flat
+            slot[j] = counts[dd]
+            counts[dd] += 1
+        sl = tuple(slice(l, h) for l, h in zip(lo_box, hi_box))
+
+        def extract(u_local, tab):
+            return u_local.reshape(gd_local)[sl].reshape(-1)[tab]
+
+        tab_sharded = jax.device_put(jnp.asarray(loc_tab), dec.sharding)
+        return extract, tab_sharded, dev, slot
+
+    def _build_rec(self, extract):
+        dec = self.dec
+        local_step = self._local_step_fn()
+        names = dec.axis_names
+
+        def local_run(consts, tab, u, v, t0, dts):
+            consts = _local_consts(consts)
+            u, v, tab = u[0], v[0], tab[0]
+
+            def body(carry, dtn):
+                out, _ = local_step(consts, carry, dtn)
+                return out, extract(out[0], tab)
+
+            (u, v, t), ys = jax.lax.scan(body, (u, v, t0), dts)
+            return u[None], v[None], t, ys[:, None]
+
+        return jax.jit(jax.shard_map(
+            local_run,
+            mesh=dec.jmesh,
+            in_specs=(self._consts_spec(), P(names), P(names), P(names),
+                      P(), P()),
+            out_specs=(P(names), P(names), P(), P(None, names)),
+            check_vma=False,
+        ))
+
+    def rk_record(self, t0: float, tf: float, points):
+        """``rk`` + device-side per-step sensor recording over the
+        multi-axis device mesh; identical series to the single-device
+        ``model.rk_record`` (reference distributed point evaluation:
+        ``cpp/mwe/parallel_eval_line/main.cpp:49-107``)."""
+        from ..models.common import run_segmented
+
+        extract, tab, dev, slot = self._sensor_plan(points)
+        key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
+        cache = getattr(self, "_rec_runs", None)
+        if cache is None:
+            cache = self._rec_runs = {}
+        run = cache.get(key)
+        if run is None:
+            rec = self._build_rec(extract)
+            run = lambda consts, u, v, t, seg: rec(consts, tab, u, v, t, seg)  # noqa: E731
+            cache[key] = run
+        model = self.model
+        u, v = _initial_stacked(self)
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, ys = run_segmented(
+            run, self.consts, u, v, t0, dts, model.dtype, collect_ys=True
+        )
+        u, v, t = _store_stacked(self, us, vs, t0 + float(np.sum(dts)))
+        times = t0 + np.cumsum(dts)
+        return u, v, t, times, np.asarray(ys)[:, dev, slot]
+
     def global_result(self):
         """Materialize the global (u, v) on host (streamed-setup path)."""
         return (
@@ -384,6 +518,9 @@ def _initial_stacked(solver):
     dec, model = solver.dec, solver.model
     if getattr(solver, "_streamed", False):
         if not hasattr(solver, "_u_st"):
+            from .slab import _check_streamed_initial_zero
+
+            _check_streamed_initial_zero(model)
             z = jax.device_put(
                 jnp.zeros((dec.ndev, dec.local_ndofs), model.dtype),
                 dec.sharding,

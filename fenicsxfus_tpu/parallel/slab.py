@@ -83,6 +83,12 @@ class SlabDecomposition:
     def __init__(self, mesh: Mesh, degree: int, ndev: int, dtype):
         if mesh.grid_shape is None:
             raise ValueError("slab decomposition needs a structured mesh")
+        if getattr(mesh, "uniform_hint", True) is False:
+            raise ValueError(
+                "slab decomposition requires a uniform lattice; this mesh "
+                "is deformed (uniform_hint=False) — use "
+                "ShardedUnstructuredExplicitSolver or a single device"
+            )
         self._setup(
             mesh.grid_shape,
             mesh.vertices.min(axis=0),
@@ -168,6 +174,31 @@ class SlabDecomposition:
         rows = [s[0]] + [s[d, 1:] for d in range(1, self.ndev)]
         full = np.concatenate(rows, axis=0)
         return full[: self.G0].reshape(-1)
+
+    def locate_sensors(self, points):
+        """Snap sensor ``points`` [dim, n] to the global GLL lattice and
+        map to (device, local lattice coords): ``dev`` [n] and ``loc``
+        [dim, n] with axis-0 given as the LOCAL row on that device.
+        Closed-form (grid + GLL nodes) — works on the streamed path where
+        no global mesh object exists. Sensors on a replicated interface
+        plane are assigned to the lower device (replicas are identical)."""
+        from ..core.gll import gll_points_weights_01
+
+        pts = np.asarray(points, np.float64)
+        p = self.degree
+        gll, _ = gll_points_weights_01(p + 1)
+        d = len(self.grid)
+        coords = []
+        for a in range(d):
+            h = (self.hi[a] - self.lo[a]) / self.grid[a]
+            xi = (pts[a] - self.lo[a]) / h
+            cell = np.clip(np.floor(xi).astype(np.int64), 0, self.grid[a] - 1)
+            loc = np.clip(xi - cell, 0.0, 1.0)
+            node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
+            coords.append(cell * p + node)
+        dev = np.minimum(coords[0] // (self.Lx - 1), self.ndev - 1)
+        r0 = coords[0] - dev * (self.Lx - 1)
+        return dev, np.stack([r0] + coords[1:])
 
     def dot_weights(self) -> jnp.ndarray:
         """Stacked per-DOF weights [ndev, local_ndofs] making
@@ -328,6 +359,22 @@ def _model_shard_kwargs(model):
     )
 
 
+def _check_streamed_initial_zero(model):
+    """The streamed-setup path never materializes global field vectors, so
+    the solver starts from zero fields (matching every reference driver).
+    A nonzero ``model.u_n``/``v_n`` (the template model's LOCAL state)
+    cannot be honored — raise instead of silently dropping it."""
+    for name in ("u_n", "v_n"):
+        arr = getattr(model, name, None)
+        if arr is not None and bool(np.any(np.asarray(arr))):
+            raise ValueError(
+                f"streamed-setup solver starts from zero fields, but the "
+                f"template model has nonzero {name}; set the state via the "
+                "solver's stacked arrays (solver._u_st/_v_st, shaped "
+                "[ndev, local_ndofs]) or use the non-streamed solver"
+            )
+
+
 def _local_consts(consts):
     """Inside shard_map the leading device axis has local size 1 — strip it
     from every sharded array (scalars pass through)."""
@@ -361,11 +408,10 @@ class ShardedExplicitSolver:
         self.rhs_pure = type(model).rhs_pure
         self._run = None
 
-    def _build(self):
-        dec = self.dec
+    def _local_step_fn(self):
         a, b, c = explicit_tables(self.model.rk_order)
         rhs = self.rhs_pure
-        ops = dec.ops
+        ops = self.dec.ops
 
         def local_step(consts, carry, dtn):
             u0, v0, t = carry
@@ -381,6 +427,18 @@ class ShardedExplicitSolver:
                 v_acc = v_acc + (b[i] * dtn) * kv
             return (u_acc, v_acc, t + dtn), None
 
+        return local_step
+
+    def _consts_spec(self):
+        return jax.tree.map(
+            lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
+            self.consts,
+        )
+
+    def _build(self):
+        dec = self.dec
+        local_step = self._local_step_fn()
+
         def local_run(consts, u, v, t0, dts):
             consts = _local_consts(consts)
             u, v = u[0], v[0]
@@ -389,14 +447,10 @@ class ShardedExplicitSolver:
             )
             return u[None], v[None], t
 
-        spec_consts = jax.tree.map(
-            lambda x: P(AXIS) if getattr(x, "ndim", 0) >= 1 else P(),
-            self.consts,
-        )
         shmapped = jax.shard_map(
             local_run,
             mesh=dec.jmesh,
-            in_specs=(spec_consts, P(AXIS), P(AXIS), P(), P()),
+            in_specs=(self._consts_spec(), P(AXIS), P(AXIS), P(), P()),
             out_specs=(P(AXIS), P(AXIS), P()),
             # pallas_call outputs carry no varying-mesh-axes annotation;
             # strict vma checking would reject the fused kernels on TPU
@@ -411,6 +465,7 @@ class ShardedExplicitSolver:
         dec, model = self.dec, self.model
         if getattr(self, "_streamed", False):
             if not hasattr(self, "_u_st"):
+                _check_streamed_initial_zero(model)
                 z = jax.device_put(
                     jnp.zeros((dec.ndev, dec.local_ndofs), model.dtype),
                     dec.sharding,
@@ -451,6 +506,97 @@ class ShardedExplicitSolver:
         )
         t = t0 + float(np.sum(dts))
         return self._store_stacked(us, vs, t)
+
+    # -- in-scan sensor recording (sharded) --------------------------------
+
+    def _sensor_plan(self, points):
+        """Static recording plan: per-device padded local gather tables +
+        the (device, slot) host reassembly map. The in-scan extraction
+        slices a shared bounding box (full local rows x the lateral extent
+        of the sensor set) before the tiny gather — a raw scalar gather
+        from the full field lowers near-serially on TPU (measured 37x the
+        step cost, ``models/base.py::_sensor_extractor``)."""
+        dec = self.dec
+        dev, loc = dec.locate_sensors(points)
+        d = loc.shape[0]
+        lo_box = [0] + [int(loc[a].min()) for a in range(1, d)]
+        hi_box = [dec.Lx] + [int(loc[a].max()) + 1 for a in range(1, d)]
+        box = tuple(h - l for l, h in zip(lo_box, hi_box))
+        n = dev.size
+        m = max(int(np.max(np.bincount(dev, minlength=dec.ndev))), 1)
+        loc_tab = np.zeros((dec.ndev, m), np.int32)
+        slot = np.zeros(n, np.int64)
+        counts = np.zeros(dec.ndev, np.int64)
+        for j in range(n):
+            dd = int(dev[j])
+            flat = np.ravel_multi_index(
+                tuple(int(loc[a][j]) - lo_box[a] for a in range(d)), box
+            )
+            loc_tab[dd, counts[dd]] = flat
+            slot[j] = counts[dd]
+            counts[dd] += 1
+        gd_local = (dec.Lx,) + tuple(dec.gdims[1:])
+        sl = tuple(slice(l, h) for l, h in zip(lo_box, hi_box))
+
+        def extract(u_local, tab):
+            return u_local.reshape(gd_local)[sl].reshape(-1)[tab]
+
+        tab_sharded = jax.device_put(jnp.asarray(loc_tab), dec.sharding)
+        return extract, tab_sharded, dev, slot
+
+    def _build_rec(self, extract):
+        dec = self.dec
+        local_step = self._local_step_fn()
+
+        def local_run(consts, tab, u, v, t0, dts):
+            consts = _local_consts(consts)
+            u, v, tab = u[0], v[0], tab[0]
+
+            def body(carry, dtn):
+                out, _ = local_step(consts, carry, dtn)
+                return out, extract(out[0], tab)
+
+            (u, v, t), ys = jax.lax.scan(body, (u, v, t0), dts)
+            return u[None], v[None], t, ys[:, None]
+
+        return jax.jit(jax.shard_map(
+            local_run,
+            mesh=dec.jmesh,
+            in_specs=(self._consts_spec(), P(AXIS), P(AXIS), P(AXIS),
+                      P(), P()),
+            out_specs=(P(AXIS), P(AXIS), P(), P(None, AXIS)),
+            check_vma=False,
+        ))
+
+    def rk_record(self, t0: float, tf: float, points):
+        """Time-march like ``rk`` while recording u(t) at sensor ``points``
+        every step, device-side inside the sharded scan — the multi-chip
+        analogue of the reference's distributed point evaluation
+        (``cpp/mwe/parallel_eval_line/main.cpp:49-107``). Returns
+        (u, v, t, times [n_steps], ys [n_steps, n_sensors]); identical
+        series to the single-device ``model.rk_record``."""
+        from ..models.common import run_segmented
+
+        extract, tab, dev, slot = self._sensor_plan(points)
+        key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
+        cache = getattr(self, "_rec_runs", None)
+        if cache is None:
+            cache = self._rec_runs = {}
+        run = cache.get(key)
+        if run is None:
+            rec = self._build_rec(extract)
+            run = lambda consts, u, v, t, seg: rec(consts, tab, u, v, t, seg)  # noqa: E731
+            cache[key] = run
+        model = self.model
+        u, v = self._initial_stacked()
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, ys = run_segmented(
+            run, self.consts, u, v, t0, dts, model.dtype, collect_ys=True
+        )
+        t = t0 + float(np.sum(dts))
+        u, v, t = self._store_stacked(us, vs, t)
+        times = t0 + np.cumsum(dts)
+        return u, v, t, times, np.asarray(ys)[:, dev, slot]
 
 
 class ShardedImplicitSolver:
