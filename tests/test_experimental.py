@@ -126,6 +126,7 @@ def test_sponge_damps_outgoing_wave():
     assert deep < 0.5 * inside  # wave decays through the sponge pad
 
 
+@pytest.mark.slow
 def test_focused_source_focal_gain():
     """Phased-aperture focusing (HITU bowl analogue): the field near the
     geometric focus must exceed the source-plane field after the front
@@ -161,6 +162,7 @@ def test_focused_source_focal_gain():
     assert un[near_focus].max() > 3 * un[off_axis].max()
 
 
+@pytest.mark.slow
 def test_sponge_on_unstructured_mesh_matches_lattice():
     """Sponge model on a scrambled-vertex (no-lattice) mesh == the
     structured-lattice solution (the linear_planewave2d_3 configuration:

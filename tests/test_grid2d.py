@@ -78,6 +78,7 @@ def test_grid2d_westervelt_3d_heterogeneous():
     run_pair(make, (2, 4))
 
 
+@pytest.mark.slow
 def test_grid2d_lossy_3d():
     def make():
         mesh = tagged(create_box((4, 4, 2), (0, 0, 0), (1.0, 1.0, 0.3)), 1.0)
@@ -89,6 +90,7 @@ def test_grid2d_lossy_3d():
     run_pair(make, (2, 2))
 
 
+@pytest.mark.slow
 def test_grid3d_linear_3d():
     """3-axis device mesh: corner points shared by 8 devices complete via
     three sequential exchanges."""

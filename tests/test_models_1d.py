@@ -62,7 +62,11 @@ def test_linear_explicit(degree, epw):
     assert err < 1e-3, err
 
 
-@pytest.mark.parametrize("degree, epw", [(3, 8), (4, 4), (5, 2), (6, 2)])
+@pytest.mark.parametrize(
+    "degree, epw",
+    [(3, 8), (4, 4), pytest.param(5, 2, marks=pytest.mark.slow),
+     pytest.param(6, 2, marks=pytest.mark.slow)],
+)
 def test_linear_implicit(degree, epw):
     rho0 = 4.0
     p0 = rho0 * C0 * U0

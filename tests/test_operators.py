@@ -125,7 +125,9 @@ def test_mass_integrates_volume(dim):
     assert abs(m.sum() - 1.0) < 1e-12
 
 
-@pytest.mark.parametrize("degree", [2, 3, 5])
+@pytest.mark.parametrize(
+    "degree", [2, 3, pytest.param(5, marks=pytest.mark.slow)]
+)
 def test_uniform_fast_path_matches_general(degree):
     mesh = create_box((3, 2, 2))
     ops = SEMOperators(mesh, degree, dtype=jnp.float64)

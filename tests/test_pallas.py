@@ -14,6 +14,7 @@ from fenicsxfus_tpu.ops.operators import SEMOperators
 from fenicsxfus_tpu.ops.pallas_lattice import LatticePallasStiffness
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("degree", [2, 3, 4])
 def test_pallas_matches_lattice_const(degree, monkeypatch):
     monkeypatch.setenv("FUS_V3", "0")  # pin the legacy two-kernel path
@@ -29,7 +30,9 @@ def test_pallas_matches_lattice_const(degree, monkeypatch):
     assert err < 1e-11 * np.max(np.abs(np.asarray(y_ref))), err
 
 
-@pytest.mark.parametrize("n_fields", [1, 2])
+@pytest.mark.parametrize(
+    "n_fields", [pytest.param(1, marks=pytest.mark.slow), 2]
+)
 def test_pallas_matches_lattice_heterogeneous(n_fields, monkeypatch):
     """DG-0 field coefficients run the same fused kernels (VERDICT r1 #2)."""
     monkeypatch.setenv("FUS_V3", "0")  # pin the legacy two-kernel path
@@ -86,13 +89,16 @@ def _fused_vs_reference(model_cls, kwargs, hetero, monkeypatch):
         assert err < 1e-12, err
 
 
-@pytest.mark.parametrize("hetero", [False, True])
+@pytest.mark.parametrize(
+    "hetero", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_fused_stage_linear(hetero, monkeypatch):
     from fenicsxfus_tpu.models.linear import LinearSpectralExplicit
 
     _fused_vs_reference(LinearSpectralExplicit, {}, hetero, monkeypatch)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hetero", [False, True])
 def test_fused_stage_lossy(hetero, monkeypatch):
     from fenicsxfus_tpu.models.lossy import LossySpectralExplicit
@@ -102,6 +108,7 @@ def test_fused_stage_lossy(hetero, monkeypatch):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hetero", [False, True])
 def test_fused_stage_westervelt(hetero, monkeypatch):
     from fenicsxfus_tpu.models.westervelt import WesterveltSpectralExplicit
@@ -114,6 +121,7 @@ def test_fused_stage_westervelt(hetero, monkeypatch):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hetero", [False, True])
 def test_fused_stage_focused(hetero, monkeypatch):
     """Phased-aperture (bowl) source: 4 phase-split facet vectors through
@@ -146,6 +154,7 @@ def test_fused_stage_focused(hetero, monkeypatch):
         assert err < 1e-12, err
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("order", [1, 2, 3])
 def test_fused_stage_rk_orders(order, monkeypatch):
     """The closed-form step update must match the reference a-vector loop
@@ -173,6 +182,7 @@ def test_fused_stage_rk_orders(order, monkeypatch):
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-12
 
 
+@pytest.mark.slow
 def test_fused_stage_all_face_abc(monkeypatch):
     """ABC on all five non-source faces (the PH1/HITU layout) exercises the
     packed-facet y-row/z-column correction paths, not just the x-planes."""
@@ -197,6 +207,7 @@ def test_fused_stage_all_face_abc(monkeypatch):
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-12
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["linear", "lossy", "westervelt"])
 def test_fused_stage_v2_legacy(kind, monkeypatch):
     """Legacy two-kernel v2 stage (FUS_STAGE_V3=0) == reference scan on
@@ -217,6 +228,7 @@ def test_fused_stage_v2_legacy(kind, monkeypatch):
     _fused_vs_reference(cls, kwargs, True, monkeypatch)
 
 
+@pytest.mark.slow
 def test_fused_stage_v2_all_face_abc(monkeypatch):
     """v2 stage with ABC on all five non-source faces (PH1/HITU layout)."""
     monkeypatch.setenv("FUS_STAGE_V3", "0")
@@ -224,7 +236,14 @@ def test_fused_stage_v2_all_face_abc(monkeypatch):
     test_fused_stage_all_face_abc(monkeypatch)
 
 
-@pytest.mark.parametrize("degree,grid", [(2, (9, 5, 7)), (3, (6, 4, 5)), (4, (8, 5, 6))])
+@pytest.mark.parametrize(
+    "degree,grid",
+    [
+        pytest.param(2, (9, 5, 7), marks=pytest.mark.slow),
+        pytest.param(3, (6, 4, 5), marks=pytest.mark.slow),
+        pytest.param(4, (8, 5, 6), marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_v3_single_pass(degree, grid, monkeypatch):
     """v3 single-kernel apply (ops/pallas_v3.py) == XLA lattice path, const
     and heterogeneous, across be in {1, 2, 4} (n0 = 9/6/8)."""
@@ -252,7 +271,13 @@ def test_pallas_v3_single_pass(degree, grid, monkeypatch):
     assert np.max(np.abs(np.asarray(y2) - np.asarray(y_ref2))) < tol2
 
 
-@pytest.mark.parametrize("prec,tol", [("b3", 5e-3), ("b4", 5e-5)])
+@pytest.mark.parametrize(
+    "prec,tol",
+    [
+        pytest.param("b3", 5e-3, marks=pytest.mark.slow),
+        pytest.param("b4", 5e-5, marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_bsplit_precision(prec, tol, monkeypatch):
     """Split-bf16 MXU emulation (FUS_PRECISION=b3/b4): fewer passes than
     HIGHEST (3/4 vs 6) at a bounded, measured accuracy cost per apply
@@ -277,6 +302,7 @@ def test_pallas_bsplit_precision(prec, tol, monkeypatch):
     assert rel2 < tol, rel2
 
 
+@pytest.mark.slow
 def test_pallas_v3_loop_variant(monkeypatch):
     """FUS_V3_LOOP=1 (fori_loop element body) == the unrolled default, apply
     and full fused stage."""

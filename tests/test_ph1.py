@@ -148,7 +148,10 @@ def test_committed_results_complete_and_water_cases_match_oracles():
     assert meta["ndofs"] > 10_000_000  # genuinely production resolution
 
 
-@pytest.mark.parametrize("sc,bm", [(1, 1), (1, 3), (2, 2)])
+@pytest.mark.parametrize(
+    "sc,bm",
+    [(1, 1), pytest.param(1, 3, marks=pytest.mark.slow), (2, 2)],
+)
 def test_ph1_smoke(sc, bm):
     """Tiny run: finite fields, source switches on, sensors recorded."""
     import jax.numpy as jnp

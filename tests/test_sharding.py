@@ -75,7 +75,9 @@ def test_sharded_linear_2d(ndev):
     run_pair(make, ndev)
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize(
+    "ndev", [2, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_sharded_westervelt_3d(ndev):
     def make():
         # 9 cells: uneven on both device counts (exercises the m0=1 padding
@@ -133,7 +135,9 @@ def run_pair_implicit(make_model, ndev, t_end=0.02):
     assert m2.cg_stats["max_iterations"] < m2.cg_maxiter
 
 
-@pytest.mark.parametrize("ndev", [2, 4])
+@pytest.mark.parametrize(
+    "ndev", [2, pytest.param(4, marks=pytest.mark.slow)]
+)
 def test_sharded_implicit_linear_1d(ndev):
     def make():
         mesh = tagged(create_interval(16, 0.0, 1.0), 1.0)
@@ -144,6 +148,7 @@ def test_sharded_implicit_linear_1d(ndev):
     run_pair_implicit(make, ndev)
 
 
+@pytest.mark.slow
 def test_sharded_implicit_lossy_2d_uneven():
     def make():
         mesh = tagged(create_rectangle((7, 4), (0, 0), (1.0, 0.5)), 1.0)

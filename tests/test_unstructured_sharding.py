@@ -86,6 +86,7 @@ def test_unstructured_linear_2d(ndev):
     _compare(make, ShardedUnstructuredExplicitSolver, "rk", ndev, 0.03)
 
 
+@pytest.mark.slow
 def test_unstructured_westervelt_3d():
     def make():
         return WesterveltSpectralExplicit(
@@ -96,6 +97,7 @@ def test_unstructured_westervelt_3d():
     _compare(make, ShardedUnstructuredExplicitSolver, "rk", 4, 0.02)
 
 
+@pytest.mark.slow
 def test_unstructured_implicit_2d():
     def make():
         return LinearSpectralImplicit(
