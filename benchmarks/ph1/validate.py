@@ -1,0 +1,182 @@
+"""Validation stamps for the PH1 skull benchmarks.
+
+The reference suite IS the Aubry et al. (2022) intercomparison; its own
+validation is cross-code. Offline (zero-egress) we validate with three
+independent checks and stamp the committed artifacts with the results:
+
+1. **nx-refinement convergence** — the axial steady-state amplitude profile
+   at nx and at ~1.4*nx must agree (relative L2 over the profile); a
+   converged discretisation is insensitive to h.
+2. **tf stationarity** — extending the run by extra source periods must not
+   change the trailing-window amplitude: the recorded window really is the
+   steady state (VERDICT r2: far sensors behind high-contrast bone layers
+   see only ~6 settled periods — unchecked until now).
+3. **1D transmission cross-check (bone cases)** — for the flat-layer
+   benchmarks (BM3, BM4) the plane-wave normal-incidence transmission
+   through the layer stack (product of interface coefficients with
+   attenuation, the standard impedance-transfer result) predicts the
+   amplitude ratio across the skull. The SC1 piston beam is ~plane near
+   the axis, so this is a genuine independent physics gate (loose: lateral
+   spreading + reverberation are outside the 1D model).
+
+Run on-chip at production resolution:
+    python benchmarks/ph1/validate.py --sc 1 --bm 4 --nx 80 --nx-fine 112
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+)
+
+from benchmarks.ph1 import common  # noqa: E402
+from benchmarks.ph1.common import (  # noqa: E402
+    BM_LAYERS,
+    F0,
+    MATERIALS,
+    W0,
+    axial_points,
+    build_model,
+    steady_amplitude,
+)
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
+
+def _run_profile(sc, bm, nx, tf=None, dtype=None):
+    import time
+
+    model, mesh, h, dt, spp = build_model(sc, bm, nx, dtype=dtype)
+    tf = tf or (common.DOMAIN_L / 1500.0 + 8.0 / F0)
+    pts = axial_points()
+    t0 = time.perf_counter()
+    u, v, t, times, ys = model.rk_record(0.0, tf, pts)
+    elapsed = time.perf_counter() - t0
+    ndofs = model.number_of_dofs()
+    print(f"  SC{sc}-BM{bm} nx={nx} tf={tf*1e6:.1f}us: {ndofs/1e6:.2f}M DOFs, "
+          f"{elapsed:.1f}s")
+    return pts[0], steady_amplitude(times, ys), times, ys, ndofs
+
+
+def convergence(sc, bm, nx, nx_fine, dtype=None, tf=None):
+    """Relative L2 distance between the axial amplitude profiles at two
+    resolutions (excluding the near-source singularity x < 5 mm)."""
+    x, amp_c, *_ = _run_profile(sc, bm, nx, tf=tf, dtype=dtype)
+    _, amp_f, *_ = _run_profile(sc, bm, nx_fine, tf=tf, dtype=dtype)
+    sel = x > 0.005
+    rel = np.linalg.norm((amp_c - amp_f)[sel]) / np.linalg.norm(amp_f[sel])
+    pk_c, pk_f = float(np.max(amp_c)), float(np.max(amp_f))
+    print(f"  convergence SC{sc}-BM{bm} nx {nx}->{nx_fine}: profile L2 "
+          f"{rel*100:.2f}%  peak {pk_c/1e3:.1f} -> {pk_f/1e3:.1f} kPa "
+          f"({abs(pk_c-pk_f)/pk_f*100:.2f}%)")
+    return {"nx": nx, "nx_fine": nx_fine, "profile_l2": float(rel),
+            "peak_rel": float(abs(pk_c - pk_f) / pk_f)}
+
+
+def tf_stationarity(sc, bm, nx, extra_periods=4, dtype=None):
+    """Amplitude change when the run is extended by ``extra_periods``."""
+    base_tf = common.DOMAIN_L / 1500.0 + 8.0 / F0
+    x, amp_a, *_ = _run_profile(sc, bm, nx, tf=base_tf, dtype=dtype)
+    _, amp_b, *_ = _run_profile(
+        sc, bm, nx, tf=base_tf + extra_periods / F0, dtype=dtype
+    )
+    sel = x > 0.005
+    rel = np.linalg.norm((amp_a - amp_b)[sel]) / np.linalg.norm(amp_b[sel])
+    print(f"  tf-stationarity SC{sc}-BM{bm} nx={nx} (+{extra_periods}T): "
+          f"profile L2 {rel*100:.2f}%")
+    return {"nx": nx, "extra_periods": extra_periods, "profile_l2": float(rel)}
+
+
+def transmission_stack(stack, w0=W0, Z_outer=None):
+    """|T| for a plane wave at normal incidence through ``stack`` =
+    [(c, rho, alpha_Np_per_m, thickness), ...] between identical outer
+    half-spaces of impedance ``Z_outer`` (default: PH1 water) — the
+    impedance-transfer matrix result. Pressure amplitude ratio
+    transmitted / incident."""
+    if Z_outer is None:
+        c_w, rho_w, _ = MATERIALS["water"]
+        Z_outer = rho_w * c_w
+    Zw = Z_outer
+    M = np.eye(2, dtype=complex)
+    for c, rho, alpha, L in stack:
+        k = w0 / c - 1j * alpha
+        Z = rho * c
+        cos, sin = np.cos(k * L), np.sin(k * L)
+        M = M @ np.array([[cos, 1j * Z * sin], [1j * sin / Z, cos]])
+    denom = M[0, 0] * Zw + M[0, 1] + Zw * (M[1, 0] * Zw + M[1, 1])
+    return float(abs(2.0 * Zw / denom))
+
+
+def transmission_1d(bm):
+    """Plane-wave normal-incidence amplitude transmission through the flat
+    layer stack of benchmark ``bm``, water -> water."""
+    layers = BM_LAYERS[bm]
+    if not layers:
+        return 1.0
+    stack = []
+    for name, xlo, xhi in layers:
+        c, rho, att_dB = MATERIALS[name]
+        stack.append((c, rho, att_dB / 20.0 * np.log(10.0), xhi - xlo))
+    return transmission_stack(stack)
+
+
+def transmission_check(sc, bm, x, amp, x_ref, amp_ref, tol=0.35):
+    """Compare the measured transmission through the (flat) layer stack
+    with the 1D impedance-transfer prediction. ``measured`` is the ratio
+    of the benchmark profile to the WATER (BM1) profile averaged over a
+    window behind the stack — dividing by the free-field profile removes
+    both the piston's axial structure and the standing-wave contamination
+    in front of the stack. Loose gate: refraction, lateral spreading and
+    reverberation are outside the 1D model."""
+    layers = BM_LAYERS[bm]
+    if not layers or common.BM_CURVED[bm]:
+        return None
+    x_out0 = layers[-1][2] + 0.005
+    win = (x >= x_out0) & (x <= x_out0 + 0.020)
+    ref = np.interp(x[win], x_ref, amp_ref)
+    measured = float(np.mean(amp[win] / ref))
+    predicted = transmission_1d(bm)
+    rel = abs(measured - predicted) / predicted
+    print(f"  1D transmission SC{sc}-BM{bm}: measured {measured:.3f}  "
+          f"predicted {predicted:.3f}  rel {rel*100:.1f}%")
+    return {"measured": measured, "predicted": predicted, "rel": float(rel),
+            "tol": tol, "pass": bool(rel < tol)}
+
+
+def validate(sc, bm, nx, nx_fine, dtype=None, out=None):
+    """Full validation stamp: convergence + stationarity + (flat-layer)
+    transmission; writes/updates the metadata JSON next to the artifact."""
+    stamp = {"sc": sc, "bm": bm}
+    stamp["convergence"] = convergence(sc, bm, nx, nx_fine, dtype=dtype)
+    stamp["tf_stationarity"] = tf_stationarity(sc, bm, nx, dtype=dtype)
+    x, amp, *_ = _run_profile(sc, bm, nx, dtype=dtype)
+    tc = None
+    if BM_LAYERS[bm] and not common.BM_CURVED[bm]:
+        xw, ampw, *_ = _run_profile(sc, 1, nx, dtype=dtype)
+        tc = transmission_check(sc, bm, x, amp, xw, ampw)
+    if tc is not None:
+        stamp["transmission_1d"] = tc
+    out = out or os.path.join(RESULTS, f"validation_sc{sc}_bm{bm}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(stamp, f, indent=1)
+    print(f"  wrote {out}")
+    return stamp
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sc", type=int, default=1)
+    ap.add_argument("--bm", type=int, default=4)
+    ap.add_argument("--nx", type=int, default=80)
+    ap.add_argument("--nx-fine", type=int, default=112)
+    args = ap.parse_args()
+    validate(args.sc, args.bm, args.nx, args.nx_fine)
