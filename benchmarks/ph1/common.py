@@ -167,25 +167,50 @@ def tag_scenario(mesh, sc: int):
     return mesh
 
 
-def build_model(sc: int, bm: int, nx: int, dtype=None, cfl=0.5):
-    """Assemble the model for scenario ``sc``, benchmark ``bm``."""
+def build_model(sc: int, bm: int, nx: int, dtype=None, cfl=0.5,
+                bowl: bool = False):
+    """Assemble the model for scenario ``sc``, benchmark ``bm``.
+
+    ``bowl=True`` (SC2 only) drives a TRUE bowl-fitted mesh
+    (``core/bowl.py`` curved facets, hybrid operator path) instead of the
+    phased flat aperture — the geometry the reference's gmsh meshes
+    express (``cpp/fenicsx-sf-naive/benchmarks/PH1/SC2-BM1/main.cpp``).
+    The SC2 blend depth (~26 mm) ends before the first skull layer
+    (26-30 mm), so the material layers land on uniform cells."""
     import jax.numpy as jnp
 
     from fenicsxfus_tpu import (
         LinearSpectralExplicit,
         LossySpectralExplicit,
+        WesterveltSpectralExplicit,
     )
     from fenicsxfus_tpu.models.focused import WesterveltSpectralFocused
 
     dtype = dtype or jnp.float32
     degree = BM_DEGREE[bm]
-    mesh, h = build_mesh(nx, degree)
-    tag_scenario(mesh, sc)
+    if bowl and sc != 2:
+        raise ValueError("bowl meshes apply to the SC2 (focused) scenario")
+    if bowl:
+        from fenicsxfus_tpu.core.bowl import create_bowl_box
+
+        h = DOMAIN_L / nx
+        nyz = max(int(round(DOMAIN_W / h)), 2)
+        mesh, _focus = create_bowl_box(
+            (nx, nyz, nyz),
+            (0.0, -DOMAIN_W / 2, -DOMAIN_W / 2),
+            (DOMAIN_L, DOMAIN_W / 2, DOMAIN_W / 2),
+            SC2_ROC, SC2_APERTURE,
+        )
+        h_cfl = mesh.h_min()
+    else:
+        mesh, h = build_mesh(nx, degree)
+        tag_scenario(mesh, sc)
+        h_cfl = h
     c0, rho0, delta0 = build_media(mesh, bm)
 
     cmax = float(np.max(c0))
     period = 1.0 / F0
-    dt = cfl * h / (cmax * degree**2)
+    dt = cfl * h_cfl / (cmax * degree**2)
     steps_per_period = int(period / dt) + 1
     dt = period / steps_per_period
 
@@ -199,6 +224,13 @@ def build_model(sc: int, bm: int, nx: int, dtype=None, cfl=0.5):
                 mesh, None, degree, c0, rho0, delta0, F0, P0, 1500.0, 4, dt,
                 dtype=dtype,
             )
+    elif bowl:
+        # real curved transducer facets: plain uniform source, focusing
+        # from the geometry (β=0: PH1 is linear/lossy)
+        model = WesterveltSpectralExplicit(
+            mesh, None, degree, c0, rho0, delta0, 0.0, F0, P0, 1500.0, 4,
+            dt, dtype=dtype,
+        )
     else:
         # focused bowl as a phased flat aperture (O'Neil-validated)
         model = WesterveltSpectralFocused(
@@ -207,7 +239,7 @@ def build_model(sc: int, bm: int, nx: int, dtype=None, cfl=0.5):
             center=np.array([0.0, 0.0, 0.0]), dtype=dtype,
         )
     model.init()
-    return model, mesh, h, dt, steps_per_period
+    return model, mesh, h_cfl, dt, steps_per_period
 
 
 def axial_points(n=121):
@@ -223,15 +255,17 @@ def steady_amplitude(times, ys, n_periods=2):
 
 
 def run(sc: int, bm: int, nx: int = 80, out: str | None = None,
-        final_time: float | None = None, dtype=None):
-    """Run one PH1 scenario/benchmark; returns (axial x, amplitude)."""
+        final_time: float | None = None, dtype=None, bowl: bool = False):
+    """Run one PH1 scenario/benchmark; returns (axial x, amplitude).
+    ``bowl=True``: true curved-facet bowl mesh (SC2 only)."""
     import time
 
-    model, mesh, h, dt, spp = build_model(sc, bm, nx, dtype=dtype)
+    model, mesh, h, dt, spp = build_model(sc, bm, nx, dtype=dtype, bowl=bowl)
     ndofs = model.number_of_dofs()
     tf = final_time or (DOMAIN_L / 1500.0 + 8.0 / F0)
     nsteps = int(round(tf / dt))
-    print(f"PH1 SC{sc}-BM{bm}: p={BM_DEGREE[bm]}  h={h*1e3:.2f} mm  "
+    print(f"PH1 SC{sc}-BM{bm}{' BOWLMESH' if bowl else ''}: "
+          f"p={BM_DEGREE[bm]}  h={h*1e3:.2f} mm  "
           f"DOFs={ndofs/1e6:.2f}M  dt={dt:.3e}  steps={nsteps}  "
           f"steps/period={spp}")
     pts = axial_points()
@@ -253,7 +287,8 @@ def run(sc: int, bm: int, nx: int = 80, out: str | None = None,
             out, x=x, amplitude=amp, sensor_x=x[sens],
             times=times[keep], waveforms=ys[keep][:, sens],
             meta=json.dumps({"sc": sc, "bm": bm, "nx": nx, "dt": dt,
-                             "ndofs": int(ndofs), "tf": tf}),
+                             "ndofs": int(ndofs), "tf": tf,
+                             "mesh": "bowl-fitted" if bowl else "flat-phased"}),
         )
         print(f"  wrote {out}")
     return x, amp

@@ -1,7 +1,7 @@
 """PH1 SC2-BM6: focused bowl (64 mm aperture, ROC 64 mm), curved layered skull (ROC 75 mm)
 
 Reference driver: ``cpp/fenicsx-sf-naive/benchmarks/PH1/SC2-BM6/main.cpp``.
-Run:  python benchmarks/ph1/sc2_bm6.py [--nx 80] [--out results/...]
+Run:  python benchmarks/ph1/sc2_bm6.py [--nx 80] [--out results/...] [--bowl]
 """
 
 import argparse
@@ -15,5 +15,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=80)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--bowl", action="store_true",
+                    help="true curved-facet bowl mesh (core/bowl.py) "
+                    "instead of the phased flat aperture")
     args = ap.parse_args()
-    run(2, 6, nx=args.nx, out=args.out)
+    run(2, 6, nx=args.nx, out=args.out, bowl=args.bowl)
