@@ -138,6 +138,17 @@ def main(nx=28, degree=4, with_segsum=False):
 
     total_blocked = normalised(lambda y: ops.stiffness_apply([y], [coeff]), x)
     contract = normalised(ops._stiffness_cells, z0)
+    from fenicsxfus_tpu.ops.operators import (
+        stiffness_cells,
+        stiffness_cells_dense,
+    )
+
+    contract_sf = normalised(
+        lambda z: stiffness_cells(ops.D, ops.G, z, 3), z0
+    )
+    contract_de = normalised(
+        lambda z: stiffness_cells_dense(ops.B_tab, ops.G, z, 3), z0
+    )
     if with_segsum:
         total = normalised(
             lambda y: ops.stiffness_apply_generic([y], [coeff]), x
@@ -157,7 +168,11 @@ def main(nx=28, degree=4, with_segsum=False):
 
     ttb = slope(total_blocked, x)
     tc = slope(contract, z0)
-    print(f"  contract            {tc*1e3:8.2f} ms ({n/tc/1e9:6.2f} GDOF/s)")
+    tcsf = slope(contract_sf, z0)
+    tcde = slope(contract_de, z0)
+    print(f"  contract (default)  {tc*1e3:8.2f} ms ({n/tc/1e9:6.2f} GDOF/s)")
+    print(f"  contract sum-fact   {tcsf*1e3:8.2f} ms ({n/tcsf/1e9:6.2f} GDOF/s)")
+    print(f"  contract dense-tab  {tcde*1e3:8.2f} ms ({n/tcde/1e9:6.2f} GDOF/s)")
     tt = None
     if with_segsum:
         tt = slope(total, x)

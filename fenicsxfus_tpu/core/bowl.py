@@ -43,6 +43,16 @@ def bowl_cap_area(R: float, a: float) -> float:
     return 2.0 * np.pi * R * (R - np.sqrt(R * R - a * a))
 
 
+def _fade(xi: np.ndarray) -> np.ndarray:
+    """C1 deformation fade profile: 1 at xi=0, 0 for xi>=1, with ZERO slope
+    at both ends (cosine). The zero slope at the cap keeps the first layer
+    of cells locally prism-like — a linear fade puts its maximum shear in
+    the source-adjacent cells, which at coarse resolution costs ~15% of the
+    radiated amplitude (O'Neil gate, tests/test_bowl.py)."""
+    x = np.clip(xi, 0.0, 1.0)
+    return 0.5 * (1.0 + np.cos(np.pi * x))
+
+
 def create_bowl_box(
     n,
     lo,
@@ -51,6 +61,7 @@ def create_bowl_box(
     a: float,
     center_yz=None,
     blend: float | None = None,
+    lateral_hold: float | None = None,
     tag_source: int = 1,
     tag_other: int | None = 2,
 ) -> tuple[Mesh, np.ndarray]:
@@ -166,13 +177,42 @@ def create_bowl_box(
         y2d[1:-1, 1:-1] = np.where(b, yn, y2d[1:-1, 1:-1])
         z2d[1:-1, 1:-1] = np.where(b, zn, z2d[1:-1, 1:-1])
 
+    # Lateral snap FADES with depth (same blend as the x-deformation):
+    # vertices at x = x0 get the full rim fit (the tagged cap layer), and
+    # beyond the blend depth the lattice is exactly uniform again. This
+    # confines every deformed cell to the first ``blend_layers`` x-layers,
+    # which is what lets the hybrid operator run the lattice/Pallas fast
+    # path on the (uniform) bulk and a per-cell-geometry correction on the
+    # blend slab only (ops/operators.py hybrid path).
+    # The lateral snap is HELD at full strength for ``lateral_hold`` depth
+    # (default: one blend length) and then fades over ``blend``: the wave
+    # launches through a rim-fitted prism exactly as if the snap extended
+    # through the whole volume (a fade starting AT the cap costs ~13% of
+    # the radiated amplitude at 4 elems/wavelength — the rim-adjacent
+    # first cells skew and the effective aperture blurs), while the
+    # deformation still ends at a fixed depth so the hybrid operator can
+    # run the lattice/Pallas fast path on the uniform bulk.
+    if lateral_hold is None:
+        lateral_hold = blend
+    lateral_hold = min(float(lateral_hold), 0.9 * (hi[0] - lo[0]) - blend)
     v = mesh.vertices.copy()
     iy = np.rint((v[:, 1] - lo[1]) / hy).astype(int)
     iz = np.rint((v[:, 2] - lo[2]) / hz).astype(int)
-    v[:, 1] = center_yz[0] + y2d[iy, iz]
-    v[:, 2] = center_yz[1] + z2d[iy, iz]
+    fade_l = _fade((v[:, 0] - x0 - lateral_hold) / blend)
+    dy = y2d[iy, iz] - ys[iy]
+    dz = z2d[iy, iz] - zs[iz]
+    v[:, 1] += dy * fade_l
+    v[:, 2] += dz * fade_l
     mesh.vertices = v
-    mesh.uniform_hint = False  # deformed cells: general-geometry path
+    mesh.uniform_hint = False  # deformed cells: hybrid/general-geometry path
+    hx = (hi[0] - lo[0]) / n[0]
+    # cells with ix < blend_layers may be deformed; everything beyond is
+    # uniform by construction (both deformations fade to zero by
+    # ``lateral_hold + blend``)
+    mesh.blend_layers = min(
+        int(np.ceil((lateral_hold + blend) / hx)) + 1, n[0]
+    )
+    mesh.uniform_box = (lo.copy(), hi.copy())
 
     # tag on the x-undeformed mesh (topological facet sets survive the
     # deformation), by lateral facet INDEX so the tagged set is exactly
@@ -190,7 +230,7 @@ def create_bowl_box(
     v = mesh.vertices.copy()
     r = np.hypot(v[:, 1] - center_yz[0], v[:, 2] - center_yz[1])
     s = np.where(r < a, xf - np.sqrt(np.maximum(R * R - r * r, 0.0)), 0.0)
-    fade = np.maximum(0.0, 1.0 - (v[:, 0] - x0) / blend)
+    fade = _fade((v[:, 0] - x0) / blend)
     v[:, 0] += s * fade
     mesh.vertices = v
 

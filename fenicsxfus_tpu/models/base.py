@@ -139,6 +139,13 @@ class ExplicitModelBase(SpectralModelBase):
         pk = getattr(self.ops, "pallas2", None)
         if not kind or pk is None or os.environ.get("FUS_FUSED", "") == "0":
             return None
+        if getattr(self.ops, "hybrid", None) is not None:
+            # hybrid (bowl-deformed) meshes: the stiffness needs the
+            # per-cell band correction on top of the lattice kernel —
+            # not expressible inside the fused stage; use the scan path
+            # (the correction slab is a few % of the domain, so the
+            # unfused overhead is bounded).
+            return None
         from ..ops.pallas_stage import (
             KIND_DENSE,
             KIND_FACET,
@@ -219,8 +226,17 @@ class ExplicitModelBase(SpectralModelBase):
         if lat is not None and mesh.grid_shape is not None:
             from ..core.gll import gll_points_weights_01
 
+            hyb = getattr(self.ops, "hybrid", None)
+            # hybrid (bowl-deformed) lattices: the closed-form snap must use
+            # the UNIFORM box origin, not vertices.min() — the pulled-back
+            # cap shifts the min by a full sagitta (~1.3 cells), silently
+            # displacing every sensor (caught by the O'Neil gate).
+            lo = (
+                np.asarray(mesh.uniform_box[0])
+                if hyb is not None
+                else mesh.vertices.min(axis=0)
+            )
             gll, _ = gll_points_weights_01(lat.N)
-            lo = mesh.vertices.min(axis=0)
             d = mesh.dim
             per_axis = []
             for a in range(d):
@@ -229,7 +245,36 @@ class ExplicitModelBase(SpectralModelBase):
                 loc = np.clip(xi - cell, 0.0, 1.0)
                 node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
                 per_axis.append(cell * lat.p + node)
-            return np.ravel_multi_index(per_axis, lat.gdims)
+            idx = np.ravel_multi_index(per_axis, lat.gdims)
+            if hyb is not None:
+                # inside the deformed band the logical lattice positions
+                # are not the physical node positions — refine those points
+                # against the TRUE node coordinates of the band cells only
+                # (O(band) memory; never materializes global dof_coords)
+                depth = lo[0] + hyb["bx"] * lat.h[0]
+                inside = pts[0] < depth
+                if inside.any():
+                    from ..core.space import cell_node_coords
+
+                    nb = hyb["nb"]
+                    dofs_b = np.asarray(
+                        self.ops.space.dofmap_for_cells(np.arange(nb))
+                    ).reshape(-1)
+                    coords_b = cell_node_coords(
+                        mesh, lat.N, cells=np.arange(nb)
+                    ).reshape(-1, mesh.dim)
+                    sub = pts[:, inside].T
+                    try:
+                        from scipy.spatial import cKDTree
+
+                        q = cKDTree(coords_b).query(sub)[1]
+                    except ImportError:
+                        q = np.array([
+                            np.argmin(np.sum((coords_b - s) ** 2, axis=1))
+                            for s in sub
+                        ])
+                    idx[inside] = dofs_b[q]
+            return idx
         try:
             from scipy.spatial import cKDTree
 

@@ -68,30 +68,41 @@ class SEMOperators:
         self.num_cells = mesh.num_cells
 
         self.uniform = is_uniform_mesh(mesh)
-        if self.uniform:
-            # Geometry is identical for every cell: precompute on one cell and
-            # broadcast ([1, Nq] leading axis) — O(1) memory instead of O(Nc).
-            from ..core.mesh import Mesh as _Mesh
-
-            sub = _Mesh(
-                dim=d,
-                vertices=mesh.vertices[mesh.cells[0]],
-                cells=np.arange(2**d, dtype=np.int64)[None, :],
-            )
-            wdetJ, G = volume_factors(sub, N)  # [1, Nq], [1, Nq, nsym]
-        else:
-            wdetJ, G = volume_factors(mesh, N)  # [Nc, Nq], [Nc, Nq, nsym]
-        self._wdetJ_np = wdetJ
-        self._G_np = G
-        self.wdetJ = jnp.asarray(wdetJ.reshape((-1,) + (N,) * d), dtype)
-        self.G = jnp.asarray(G.reshape((-1,) + (N,) * d + (G.shape[-1],)), dtype)
+        self.hybrid = None
+        self._geom = None  # lazy (wdetJ_np, G_np); see _compute_geom
         self.D = jnp.asarray(diff_matrix(N), dtype)
+        self.lattice = None
+
+        import os as _os
+
+        blend_layers = int(getattr(mesh, "blend_layers", 0) or 0)
+        if self.uniform:
+            self._compute_geom()
+        elif (
+            mesh.grid_shape is not None
+            and blend_layers
+            and d == 3
+            and getattr(mesh, "uniform_box", None) is not None
+            and _os.environ.get("FUS_HYBRID", "") != "0"
+        ):
+            # HYBRID path (bowl-fitted / locally-deformed structured meshes,
+            # core/bowl.py): the mesh is topologically a lattice whose first
+            # ``blend_layers`` x-layers of cells are deformed and whose bulk
+            # is exactly uniform. The stiffness splits as
+            #   K = K_uniform(whole lattice) + K_{G_cell - G_uniform}(slab)
+            # (stiffness_cells is linear in G), so the hot path stays the
+            # index-free lattice/Pallas fast path and the correction runs a
+            # batched per-cell kernel on the slab only — gather/scatter on
+            # the slab are 0/1 window/fold MXU matmuls, no index traffic.
+            self._setup_hybrid(blend_layers)
+        else:
+            self._compute_geom()
 
         # Lattice fast path (gather-free; see ops/lattice.py): available on
         # axis-aligned uniform structured meshes — G has no off-diagonal
         # coupling there.
-        self.lattice = None
         if self.uniform and mesh.grid_shape is not None and d >= 1:
+            G = self._G_np
             diag_idx = {1: [0], 2: [0, 2], 3: [0, 3, 5]}[d]
             off = np.delete(G[0], diag_idx, axis=-1)
             if off.size == 0 or np.max(np.abs(off)) < 1e-12 * np.max(np.abs(G[0])):
@@ -104,6 +115,181 @@ class SEMOperators:
         self._scales_cache: dict[int, object] = {}
 
         self._facet_cache: dict[int, tuple] = {}
+
+    # --------------------------------------------------- geometry (lazy)
+
+    def _compute_geom(self):
+        """(wdetJ_np, G_np) with a [1, ...] broadcast leading axis on
+        uniform meshes. On the HYBRID path this materializes the FULL
+        per-cell factors — O(Nc·Nq) host memory, oracle/debug only; the
+        production hybrid apply never touches it."""
+        if self._geom is None:
+            mesh, d, N = self.mesh, self.d, self.N
+            if self.uniform:
+                from ..core.mesh import Mesh as _Mesh
+
+                sub = _Mesh(
+                    dim=d,
+                    vertices=mesh.vertices[mesh.cells[0]],
+                    cells=np.arange(2**d, dtype=np.int64)[None, :],
+                )
+                self._geom = volume_factors(sub, N)  # [1, Nq], [1, Nq, nsym]
+            else:
+                self._geom = volume_factors(mesh, N)  # [Nc, ...]
+        return self._geom
+
+    @property
+    def _wdetJ_np(self):
+        return self._compute_geom()[0]
+
+    @property
+    def _G_np(self):
+        return self._compute_geom()[1]
+
+    @property
+    def wdetJ(self):
+        if not hasattr(self, "_wdetJ_dev"):
+            # ensure_compile_time_eval: may first be touched inside a jit
+            # trace — caching a traced constant would leak a tracer into
+            # later traces (same rationale as ``gidx`` below).
+            with jax.ensure_compile_time_eval():
+                w = self._wdetJ_np
+                self._wdetJ_dev = jnp.asarray(
+                    w.reshape((-1,) + (self.N,) * self.d), self.dtype
+                )
+        return self._wdetJ_dev
+
+    @property
+    def G(self):
+        if not hasattr(self, "_G_dev"):
+            with jax.ensure_compile_time_eval():
+                G = self._G_np
+                self._G_dev = jnp.asarray(
+                    G.reshape((-1,) + (self.N,) * self.d + (G.shape[-1],)),
+                    self.dtype,
+                )
+        return self._G_dev
+
+    # ----------------------------------------------------- hybrid (bowl)
+
+    def _setup_hybrid(self, blend_layers: int):
+        """Precompute the hybrid split: uniform lattice operator for the
+        whole grid + per-cell geometry CORRECTION factors for the deformed
+        slab (first ``blend_layers`` x-layers of cells), plus the 0/1
+        window/fold matrices that move slab data between the global lattice
+        and per-cell layout as MXU matmuls."""
+        from ..core.mesh import Mesh as _Mesh
+        from .lattice import LatticeStiffness
+
+        mesh, d, N = self.mesh, self.d, self.N
+        p = self.degree
+        gs = mesh.grid_shape
+        lo_u, hi_u = mesh.uniform_box
+        h = [(hi_u[a] - lo_u[a]) / gs[a] for a in range(d)]
+        self.lattice = LatticeStiffness(gs, p, h, self.dtype)
+
+        bx = min(int(blend_layers), gs[0])
+        nb = bx * int(np.prod(gs[1:]))  # slab cells are the FIRST nb cells
+        sub = _Mesh(dim=d, vertices=mesh.vertices, cells=mesh.cells[:nb])
+        wdetJ_b, G_b = volume_factors(sub, N)  # [Nb, Nq(, nsym)]
+        uverts = np.stack(
+            np.meshgrid(*[[0.0, h[a]] for a in range(d)], indexing="ij"),
+            axis=-1,
+        ).reshape(-1, d)
+        uni = _Mesh(
+            dim=d,
+            vertices=lo_u[None, :] + uverts,
+            cells=np.arange(2**d, dtype=np.int64)[None, :],
+        )
+        wdetJ_u, G_u = volume_factors(uni, N)  # [1, Nq(, nsym)]
+
+        # window/fold 0/1 matrices: E_a[i, b*N + j] = 1 iff b*p + j == i.
+        # windows (gather) = x_slab contracted with E along each axis;
+        # fold (scatter-add) = the exact transposes.
+        def E(nblocks, extent):
+            m_ = np.zeros((extent, nblocks * N))
+            b = np.repeat(np.arange(nblocks), N)
+            j = np.tile(np.arange(N), nblocks)
+            m_[b * p + j, np.arange(nblocks * N)] = 1.0
+            return jnp.asarray(m_, self.dtype)
+
+        blocks = (bx,) + tuple(gs[1:])
+        extents = (bx * p + 1,) + tuple(gs[a] * p + 1 for a in range(1, d))
+        self.hybrid = {
+            "bx": bx,
+            "nb": nb,
+            "blocks": blocks,
+            "slab_x": bx * p + 1,
+            "Es": [E(blocks[a], extents[a]) for a in range(d)],
+            "G_corr": jnp.asarray(
+                (G_b - G_u).reshape((nb,) + (N,) * d + (G_b.shape[-1],)),
+                self.dtype,
+            ),
+            # host copies for the one-time diagonal assemblies
+            "wdetJ_corr_np": wdetJ_b - wdetJ_u,
+            "G_corr_np": G_b - G_u,
+        }
+
+    def _band_gather(self, x):
+        """Global vector → slab cell array [Nb, N, N, N] via three window
+        matmuls (row-granular, index-free)."""
+        hy = self.hybrid
+        N = self.N
+        E0, E1, E2 = hy["Es"]
+        b0, b1, b2 = hy["blocks"]
+        t = x.reshape(self.lattice.gdims)[: hy["slab_x"]]
+        t = _einsum("ia,ijk->ajk", E0.astype(x.dtype), t)
+        t = _einsum("jb,ajk->abk", E1.astype(x.dtype), t)
+        t = _einsum("kc,abk->abc", E2.astype(x.dtype), t)
+        t = t.reshape(b0, N, b1, N, b2, N).transpose(0, 2, 4, 1, 3, 5)
+        return t.reshape(hy["nb"], N, N, N)
+
+    def _band_scatter(self, yc):
+        """Slab cell array → additive contribution on the global lattice
+        (zeros beyond the slab) — the transpose of ``_band_gather``."""
+        hy = self.hybrid
+        N = self.N
+        E0, E1, E2 = hy["Es"]
+        b0, b1, b2 = hy["blocks"]
+        dt = yc.dtype
+        t = yc.reshape(b0, b1, b2, N, N, N).transpose(0, 3, 1, 4, 2, 5)
+        t = t.reshape(b0 * N, b1 * N, b2 * N)
+        t = _einsum("kc,abc->abk", E2.astype(dt), t)
+        t = _einsum("jb,abk->ajk", E1.astype(dt), t)
+        t = _einsum("ia,ajk->ijk", E0.astype(dt), t)
+        y3 = jnp.zeros(self.lattice.gdims, dt)
+        return y3.at[: hy["slab_x"]].set(t).reshape(-1)
+
+    def _band_correction(self, xs, band_coeffs):
+        """y += K_{coeff·(G_cell − G_uniform)}(x) over the deformed slab."""
+        z = None
+        for x, cb in zip(xs, band_coeffs):
+            zc = cb.reshape(-1, 1, 1, 1).astype(x.dtype) * self._band_gather(x)
+            z = zc if z is None else z + zc
+        if self._use_dense_tab():
+            yc = stiffness_cells_dense(
+                self.B_tab, self.hybrid["G_corr"], z, self.d
+            )
+        else:
+            yc = stiffness_cells(self.D, self.hybrid["G_corr"], z, self.d)
+        return self._band_scatter(yc)
+
+    def _hybrid_coeff(self, coeff):
+        """Split a DG-0 coefficient into (packed-uniform-part, band part)."""
+        if isinstance(coeff, dict) and "hyb_u" in coeff:
+            return coeff
+        arr = np.asarray(coeff, np.float64)
+        full = np.broadcast_to(arr.reshape(-1), (self.num_cells,)) \
+            if arr.ndim else np.full(self.num_cells, float(arr))
+        pk = self.pallas2
+        if pk is not None:
+            u = self._pack_pallas(pk, full)
+        else:
+            u = self.pack_scales(full)
+        return {
+            "hyb_u": u,
+            "hyb_b": jnp.asarray(full[: self.hybrid["nb"]], self.dtype),
+        }
 
     # ------------------------------------------------- lazy gather/scatter maps
     # The lattice fast path never touches these; building them eagerly would
@@ -212,10 +398,30 @@ class SEMOperators:
         """
         if self.lattice is not None and not isinstance(cell_coeff, jax.core.Tracer):
             m = self.lattice.mass_diag(np.asarray(cell_coeff))
+            if self.hybrid is not None:
+                m = m.reshape(-1) + self._diag_band_np(
+                    cell_coeff, self.hybrid["wdetJ_corr_np"]
+                )
             return jnp.asarray(m, self.dtype)
         coeff = _as_cell_array(cell_coeff, self.num_cells, self.dtype)
         shape = (-1,) + (1,) * self.d
         return self.scatter(coeff.reshape(shape) * self.wdetJ)
+
+    def _diag_band_np(self, cell_coeff, percell_np) -> np.ndarray:
+        """Host scatter-add of a per-slab-cell diagonal correction
+        (hybrid path one-time setup; ``percell_np`` [Nb, N^d])."""
+        nb = self.hybrid["nb"]
+        coeff = np.broadcast_to(
+            np.asarray(cell_coeff, np.float64).reshape(-1), (self.num_cells,)
+        )[:nb]
+        dof_b = np.asarray(self.space.dofmap_for_cells(np.arange(nb)))
+        out = np.zeros(self.ndofs)
+        np.add.at(
+            out,
+            dof_b.reshape(-1),
+            (coeff[:, None] * percell_np.reshape(nb, -1)).reshape(-1),
+        )
+        return out
 
     # --------------------------------------------------------------- stiffness
 
@@ -249,6 +455,8 @@ class SEMOperators:
         path the mixed-rep scale tensors (host-side — packing cannot happen
         on traced values once consts flow as jit arguments); otherwise
         return the device coefficient array."""
+        if self.hybrid is not None:
+            return self._hybrid_coeff(coeff)
         pk = self.pallas2
         if pk is not None:
             return self._pack_pallas(pk, coeff)
@@ -279,6 +487,21 @@ class SEMOperators:
         ``spectral_op.hpp:173-243`` (sum-factorised) and
         ``precompute_op.hpp:294-486`` (dense tabulation).
         """
+        if self.hybrid is not None:
+            cs = [self._hybrid_coeff(c) for c in coeffs]
+            us = [c["hyb_u"] for c in cs]
+            bs = [c["hyb_b"] for c in cs]
+            pk = self.pallas2
+            if pk is not None:
+                y = pk.apply(xs, us).reshape(-1)
+            else:
+                pairs = [
+                    (x.reshape(self.lattice.gdims), u)
+                    for x, u in zip(xs, us)
+                ]
+                y = self.lattice.apply_scaled(pairs).reshape(-1)
+            y = y + self._band_correction(xs, bs)
+            return self.complete(y)
         pk = self.pallas2
         if pk is not None:
             Fs = [
@@ -342,15 +565,17 @@ class SEMOperators:
         return self._pallas2_obj
 
     def stiffness_apply_generic(self, xs, coeffs) -> jnp.ndarray:
-        """Force the scalar-gather→contract→segment-sum path (oracle for the
-        blocked row-granular assembly and the lattice/pallas fast paths)."""
+        """Force the scalar-gather→sum-factorised→segment-sum path (oracle
+        for the blocked row-granular assembly, the lattice/pallas fast
+        paths AND the dense-tabulation kernel — deliberately pinned to
+        ``stiffness_cells`` so oracle and production never share one)."""
         z = None
         shape = (-1,) + (1,) * self.d
         for x, coeff in zip(xs, coeffs):
             c = _as_cell_array(coeff, self.num_cells, self.dtype)
             term = c.reshape(shape) * x[self.gidx]
             z = term if z is None else z + term
-        y = self._stiffness_cells(z)
+        y = stiffness_cells(self.D, self.G, z, self.d)
         return self.scatter_segsum(y)
 
     def pack_scales_nodal(self, coeff_nodal):
@@ -379,10 +604,29 @@ class SEMOperators:
     def stiffness_cells_general(self, z: jnp.ndarray) -> jnp.ndarray:
         return self._stiffness_cells(z)
 
+    @property
+    def B_tab(self):
+        """Shared dense gradient tabulation [d, N^d, N^d] (lazy; the
+        lattice/pallas fast paths never touch it)."""
+        if not hasattr(self, "_B_tab"):
+            with jax.ensure_compile_time_eval():
+                self._B_tab = jnp.asarray(
+                    tabulate_B(self.N, self.d), self.dtype
+                )
+        return self._B_tab
+
+    def _use_dense_tab(self) -> bool:
+        import os
+
+        return self.d >= 2 and os.environ.get("FUS_DENSE_TAB", "1") != "0"
+
     def _stiffness_cells(self, z: jnp.ndarray, qcoeff=None) -> jnp.ndarray:
-        """Sum-factorised per-cell stiffness action on gathered fields.
-        ``qcoeff`` optionally scales the flux at each quadrature point
-        (nodal-coefficient variant)."""
+        """Per-cell stiffness action on gathered fields: dense-tabulation
+        MXU matmuls by default (``stiffness_cells_dense``; FUS_DENSE_TAB=0
+        pins the sum-factorised chain). ``qcoeff`` optionally scales the
+        flux at each quadrature point (nodal-coefficient variant)."""
+        if self._use_dense_tab():
+            return stiffness_cells_dense(self.B_tab, self.G, z, self.d, qcoeff)
         return stiffness_cells(self.D, self.G, z, self.d, qcoeff)
 
     def stiffness_diag(self, cell_coeff) -> jnp.ndarray:
@@ -393,31 +637,24 @@ class SEMOperators:
         materialized [Nc, N^d], a wall at 10⁷+ DOF)."""
         if self.lattice is not None and not isinstance(cell_coeff, jax.core.Tracer):
             kd = self.lattice.stiffness_diag(np.asarray(cell_coeff))
+            if self.hybrid is not None:
+                N = self.N
+                nb = self.hybrid["nb"]
+                diag_b = _stiffness_diag_cells_np(
+                    self.hybrid["G_corr_np"].reshape(
+                        (nb,) + (N,) * self.d + (-1,)
+                    ),
+                    N,
+                    self.d,
+                    nb,
+                )
+                kd = kd.reshape(-1) + self._diag_band_np(
+                    cell_coeff, diag_b
+                )
             return jnp.asarray(kd, self.dtype)
         d, N = self.d, self.N
-        Dnp = diff_matrix(N)
-        # leading axis is 1 (uniform-mesh broadcast) or num_cells
         G = self._G_np.reshape((-1,) + (N,) * d + (self._G_np.shape[-1],))
-        from ..core.geometry import SYM_PAIRS
-
-        pairs = SYM_PAIRS[d]
-        sym = {p: i for i, p in enumerate(pairs)}
-        diag = np.zeros((self.num_cells,) + (N,) * d)
-        D2 = Dnp**2  # [q, n]
-        for a in range(d):
-            Gaa = G[..., sym[(a, a)]]
-            diag += np.moveaxis(
-                np.tensordot(np.moveaxis(Gaa, 1 + a, -1), D2, axes=([-1], [0])),
-                -1,
-                1 + a,
-            )
-        ddiag = np.diag(Dnp)
-        for a in range(d):
-            for b in range(a + 1, d):
-                Gab = G[..., sym[(a, b)]]
-                diag += 2.0 * Gab * np.expand_dims(
-                    ddiag, tuple(i for i in range(d) if i != a)
-                ) * np.expand_dims(ddiag, tuple(i for i in range(d) if i != b))
+        diag = _stiffness_diag_cells_np(G, N, d, self.num_cells)
         coeff = np.asarray(
             _as_cell_array(cell_coeff, self.num_cells, jnp.float64)
         ).reshape((-1,) + (1,) * d)
@@ -503,6 +740,58 @@ def _as_cell_array(coeff, num_cells: int, dtype):
     return arr
 
 
+def tabulate_B(N: int, d: int) -> np.ndarray:
+    """Dense gradient tabulation B[a, q, n] = ∂_a φ_n(ξ_q) on the GLL
+    lattice (Kronecker of the 1D differentiation matrix along axis ``a``
+    with identities elsewhere) — the reference's precomputed-basis
+    tabulation (``cpp/fenicsx-pc/common/precompute_op.hpp:18-33``)."""
+    Dm = diff_matrix(N)
+    eye = np.eye(N)
+    Bs = []
+    for a in range(d):
+        mats = [Dm if ax == a else eye for ax in range(d)]
+        B = mats[0]
+        for m in mats[1:]:
+            B = np.einsum("qn,rm->qrnm", B, m).reshape(
+                B.shape[0] * m.shape[0], B.shape[1] * m.shape[1]
+            )
+        Bs.append(B)
+    return np.stack(Bs)  # [d, N^d, N^d]
+
+
+def stiffness_cells_dense(B, G, z: jnp.ndarray, d: int, qcoeff=None) -> jnp.ndarray:
+    """Per-cell stiffness action via the DENSE shared gradient tabulation:
+    y_c = Bᵀ (G_c ∘ (B x_c)). Mathematically identical to the
+    sum-factorised ``stiffness_cells`` but shaped for the MXU: the
+    contractions are [Nc, N^d] @ [N^d, d·N^d] matmuls with K = N^d
+    (125 at p=4) instead of K = N (5) — the sum-factorised chain runs the
+    systolic array at ~N/128 utilisation, so ~5x more FLOPs through
+    ~25x wider passes is a large net win on unstructured cells. This is
+    the reference's dense-tabulation rung (``fenicsx-pc``,
+    ``precompute_op.hpp:294-486``) reshaped for TPU; SURVEY §7.2 calls
+    this exact trade. ``G``: [Nc or 1, (N,)*d, nsym]."""
+    from ..core.geometry import SYM_PAIRS
+
+    nc = z.shape[0]
+    nd = z.reshape(nc, -1).shape[1]
+    Gf = G.reshape(G.shape[0], nd, G.shape[-1])
+    du = _einsum("aqn,cn->caq", B, z.reshape(nc, nd))  # [Nc, d, Nq]
+    pairs = SYM_PAIRS[d]
+    sym = {p: i for i, p in enumerate(pairs)}
+    gs = []
+    for a in range(d):
+        g = None
+        for b in range(d):
+            t = Gf[..., sym[(a, b) if a <= b else (b, a)]] * du[:, b]
+            g = t if g is None else g + t
+        if qcoeff is not None:
+            g = g * qcoeff.reshape(-1, nd)
+        gs.append(g)
+    gq = jnp.stack(gs, axis=1)  # [Nc, d, Nq]
+    y = _einsum("aqn,caq->cn", B, gq)
+    return y.reshape(z.shape)
+
+
 def stiffness_cells(D, G, z: jnp.ndarray, d: int, qcoeff=None) -> jnp.ndarray:
     """Functional sum-factorised per-cell stiffness action (reference
     ``cpp/fenicsx-sf/common/spectral_op.hpp:173-243``): forward
@@ -532,6 +821,36 @@ def stiffness_cells(D, G, z: jnp.ndarray, d: int, qcoeff=None) -> jnp.ndarray:
         + _einsum("qj,ciqk->cijk", D, g1)
         + _einsum("qk,cijq->cijk", D, g2)
     )
+
+
+def _stiffness_diag_cells_np(G, N: int, d: int, num_cells: int) -> np.ndarray:
+    """Per-cell diagonal entries of the stiffness matrix on the host:
+    diag[c, i] = Σ_q Σ_ab B_a[q,i] G[c,q,ab] B_b[q,i] for the GLL-collocated
+    basis (B_a is the Kronecker derivative along axis a, whose rows reduce
+    to D along axis a and identity elsewhere). ``G`` broadcasts over a
+    leading axis of 1 (uniform) or ``num_cells``."""
+    from ..core.geometry import SYM_PAIRS
+
+    Dnp = diff_matrix(N)
+    pairs = SYM_PAIRS[d]
+    sym = {p: i for i, p in enumerate(pairs)}
+    diag = np.zeros((num_cells,) + (N,) * d)
+    D2 = Dnp**2  # [q, n]
+    for a in range(d):
+        Gaa = G[..., sym[(a, a)]]
+        diag += np.moveaxis(
+            np.tensordot(np.moveaxis(Gaa, 1 + a, -1), D2, axes=([-1], [0])),
+            -1,
+            1 + a,
+        )
+    ddiag = np.diag(Dnp)
+    for a in range(d):
+        for b in range(a + 1, d):
+            Gab = G[..., sym[(a, b)]]
+            diag += 2.0 * Gab * np.expand_dims(
+                ddiag, tuple(i for i in range(d) if i != a)
+            ) * np.expand_dims(ddiag, tuple(i for i in range(d) if i != b))
+    return diag
 
 
 def _reference_stiffness_matrix(N: int, d: int, G0: np.ndarray) -> np.ndarray:

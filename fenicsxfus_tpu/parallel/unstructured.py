@@ -53,7 +53,7 @@ from ..core.gll import diff_matrix
 from ..core.space import build_space
 from ..models.common import explicit_tables, step_sizes
 from ..ops.blocked import VPAD, _padw, _place_matrix
-from ..ops.operators import stiffness_cells
+from ..ops.operators import stiffness_cells, stiffness_cells_dense
 
 AXIS = "x"
 _PREC = jax.lax.Precision.HIGHEST  # 0/1 placement matmuls must not truncate
@@ -304,6 +304,9 @@ class UnstructuredDecomposition:
         self.G_place = jnp.asarray(np.concatenate(gblocks, axis=0))
         self._block_widths = [g.shape[0] for g in gblocks]
         self.D = jnp.asarray(diff_matrix(N), dtype)
+        from ..ops.operators import tabulate_B
+
+        self.B_tab = jnp.asarray(tabulate_B(N, self.d), dtype)
 
         # ---- per-device geometry factors -----------------------------------
         _, G_glob = volume_factors(mesh, N)  # [Nc, Nq, nsym]
@@ -490,13 +493,20 @@ class LocalUnstructuredOps:
         self.t = tables
 
     def stiffness_apply(self, xs, coeffs):
+        import os
+
         dec = self.dec
         z = None
         shape = (-1,) + (1,) * dec.d
         for x, c in zip(xs, coeffs):
             zc = c.reshape(shape).astype(x.dtype) * dec.gather_local(self.t, x)
             z = zc if z is None else z + zc
-        yc = stiffness_cells(dec.D, self.t["G"], z, dec.d)
+        if dec.d >= 2 and os.environ.get("FUS_DENSE_TAB", "1") != "0":
+            # dense shared-B tabulation: K = N^d MXU contractions (see
+            # ops/operators.py::stiffness_cells_dense)
+            yc = stiffness_cells_dense(dec.B_tab, self.t["G"], z, dec.d)
+        else:
+            yc = stiffness_cells(dec.D, self.t["G"], z, dec.d)
         return dec.scatter_local(self.t, yc)
 
 

@@ -15,6 +15,7 @@ The reference drives HITU from gmsh bowl meshes
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import fenicsxfus_tpu as fus
 from fenicsxfus_tpu.analysis.analytical import oneil_axial_amplitude
@@ -40,6 +41,7 @@ def test_cap_area_converges():
     assert e2 < 0.35 * e1  # ~O(h^2): 4x refinement would give 0.25x
 
 
+@pytest.mark.slow
 def test_cells_valid_and_hmin_bounded():
     n = (16, 32, 32)
     _, mesh = _cap_err(n)
@@ -49,6 +51,7 @@ def test_cells_valid_and_hmin_bounded():
     assert mesh.h_min() / uni.h_min() >= 0.5
 
 
+@pytest.mark.slow
 def test_focus_matches_oneil():
     """Linear bowl run vs the O'Neil axial solution (amplitude profile and
     focal gain). Coarse mesh — generous gates; the production-resolution

@@ -1,0 +1,145 @@
+"""Hybrid operator path for bowl-deformed structured meshes.
+
+``core/bowl.py`` confines all deformation to the first ``blend_layers``
+x-layers of cells; ``ops/operators.py::_setup_hybrid`` exploits that by
+splitting K = K_uniform(whole lattice) + K_{G_cell − G_uniform}(slab).
+These tests pin hybrid == the general per-cell-geometry path (FUS_HYBRID=0)
+bit-level-close, for the operator applies, the assembled diagonals, and a
+full model run. Reference analogue: the kernel-equivalence oracle pattern
+of ``cpp/fenicsx-sf/tests/test_operators3d/main.cpp:17-167``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fenicsxfus_tpu as fus
+from fenicsxfus_tpu.core.bowl import create_bowl_box
+from fenicsxfus_tpu.ops.operators import SEMOperators
+
+
+def _bowl_mesh(n=(10, 8, 8)):
+    mesh, focus = create_bowl_box(n, (0, 0, 0), (1.0, 0.9, 0.9), 0.7, 0.35)
+    return mesh, focus
+
+
+def _ops_pair(monkeypatch, degree=3):
+    mesh, _ = _bowl_mesh()
+    hyb = SEMOperators(mesh, degree, dtype=jnp.float64)
+    monkeypatch.setenv("FUS_HYBRID", "0")
+    gen = SEMOperators(mesh, degree, dtype=jnp.float64)
+    monkeypatch.delenv("FUS_HYBRID")
+    assert hyb.hybrid is not None
+    assert gen.hybrid is None and gen.lattice is None
+    return hyb, gen
+
+
+@pytest.mark.parametrize("degree", [2, 3])
+def test_hybrid_stiffness_matches_general(degree, monkeypatch):
+    hyb, gen = _ops_pair(monkeypatch, degree)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(hyb.ndofs))
+    x2 = jnp.asarray(rng.standard_normal(hyb.ndofs))
+    cfield = rng.uniform(0.5, 2.0, hyb.num_cells)
+    for xs, coeffs in (
+        ([x], [1.0]),
+        ([x], [cfield]),
+        ([x, x2], [cfield, 0.7]),
+    ):
+        ya = np.asarray(hyb.stiffness_apply(xs, coeffs))
+        yb = np.asarray(gen.stiffness_apply(xs, coeffs))
+        scale = np.max(np.abs(yb))
+        assert np.max(np.abs(ya - yb)) / scale < 1e-12
+
+
+def test_hybrid_prepacked_coeffs(monkeypatch):
+    """stiff_coeff output (the jit-arg form models use) goes through the
+    same hybrid apply."""
+    hyb, gen = _ops_pair(monkeypatch)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(hyb.ndofs))
+    cfield = rng.uniform(0.5, 2.0, hyb.num_cells)
+    packed = hyb.stiff_coeff(cfield)
+    assert isinstance(packed, dict) and "hyb_u" in packed
+    ya = np.asarray(hyb.stiffness_apply([x], [packed]))
+    yb = np.asarray(gen.stiffness_apply([x], [cfield]))
+    assert np.max(np.abs(ya - yb)) / np.max(np.abs(yb)) < 1e-12
+
+
+def test_hybrid_diagonals_match_general(monkeypatch):
+    hyb, gen = _ops_pair(monkeypatch)
+    rng = np.random.default_rng(11)
+    cfield = rng.uniform(0.5, 2.0, hyb.num_cells)
+    for coeff in (1.0, cfield):
+        ma = np.asarray(hyb.assemble_diag(coeff))
+        mb = np.asarray(gen.assemble_diag(coeff))
+        assert np.max(np.abs(ma - mb)) / np.max(np.abs(mb)) < 1e-12
+        ka = np.asarray(hyb.stiffness_diag(coeff))
+        kb = np.asarray(gen.stiffness_diag(coeff))
+        assert np.max(np.abs(ka - kb)) / np.max(np.abs(kb)) < 1e-12
+
+
+@pytest.mark.slow
+def test_hybrid_model_run_matches_general(monkeypatch):
+    """Full linear solve on a bowl mesh: hybrid == general to fp64
+    roundoff accumulated over the run."""
+    mesh, focus = _bowl_mesh((8, 7, 7))
+    c0 = rho0 = p0 = 1.0
+    f0 = c0 / 0.3
+
+    def run():
+        m = fus.LinearSpectralExplicit(
+            mesh, None, 3, c0, rho0, f0, p0, c0, 4,
+            0.4 * mesh.h_min() / (c0 * 9), dtype=jnp.float64,
+        )
+        m.init()
+        u, v, t = m.rk(0.0, 60 * m.dt)
+        return np.asarray(u)
+
+    u_h = run()
+    monkeypatch.setenv("FUS_HYBRID", "0")
+    u_g = run()
+    scale = np.max(np.abs(u_g)) + 1e-300
+    assert np.max(np.abs(u_h - u_g)) / scale < 1e-10
+
+
+def test_sharding_rejects_deformed_mesh():
+    """Grid/slab decompositions assume uniform geometry; a bowl mesh must
+    be rejected loudly, not silently flattened."""
+    from fenicsxfus_tpu.parallel.grid import GridDecomposition
+    from fenicsxfus_tpu.parallel.slab import SlabDecomposition
+
+    mesh, _ = _bowl_mesh((6, 6, 6))
+    with pytest.raises(ValueError, match="deformed"):
+        GridDecomposition(mesh, 3, (2,), jnp.float64)
+    with pytest.raises(ValueError, match="deformed"):
+        SlabDecomposition(mesh, 3, 2, jnp.float64)
+
+
+def test_sensor_indices_on_bowl_mesh():
+    """Sensor snap on the hybrid path must use the uniform-box origin (the
+    pulled-back cap shifts vertices.min() by a sagitta ~1.3 cells — every
+    sensor silently displaced; caught by the O'Neil gate) and refine
+    points inside the deformed band against true node coordinates."""
+    mesh, focus = _bowl_mesh((12, 10, 10))
+    m = fus.LinearSpectralExplicit(
+        mesh, None, 4, 1.0, 1.0, 3.0, 1.0, 1.0, 4, 1e-4, dtype=jnp.float64
+    )
+    assert m.ops.hybrid is not None
+    h = 1.0 / 12
+    # beyond the band: exact lattice snap
+    xs = np.linspace(0.45, 0.9, 6)
+    pts = np.stack([xs, np.full_like(xs, 0.45), np.full_like(xs, 0.45)])
+    got = m.ops.dof_coords()[m.sensor_indices(pts)]
+    # largest GLL gap at p=4 is 0.327h -> nearest node within 0.17h
+    assert np.max(np.abs(got - pts.T)) < 0.17 * h + 1e-12
+    # inside the band: nearest TRUE node (deformed coordinates)
+    xs = np.array([0.0, 0.05, 0.12])
+    pts = np.stack([xs, np.full_like(xs, 0.45), np.full_like(xs, 0.45)])
+    idx = m.sensor_indices(pts)
+    coords = m.ops.dof_coords()
+    got = coords[idx]
+    for j in range(pts.shape[1]):
+        d_got = np.linalg.norm(got[j] - pts[:, j])
+        d_best = np.min(np.linalg.norm(coords - pts[:, j][None, :], axis=1))
+        assert d_got < d_best + 1e-12  # exactly the nearest node

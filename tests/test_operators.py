@@ -259,3 +259,39 @@ def test_consistent_mass_integrates_exactly():
     # diag() matches action on basis vectors
     d = np.asarray(qops.mass_diag(1.0))
     assert abs(d[2] - col[2]) < 1e-13
+
+
+@pytest.mark.parametrize("dim,degree", [(2, 3), (3, 2), (3, 4)])
+def test_dense_tabulation_matches_sum_factorised(dim, degree):
+    """stiffness_cells_dense (shared-B MXU matmuls, the fenicsx-pc rung
+    done the TPU way) == the sum-factorised chain on distorted per-cell
+    geometry, with and without a nodal quadrature coefficient."""
+    from fenicsxfus_tpu.core.gll import diff_matrix
+    from fenicsxfus_tpu.ops.operators import (
+        stiffness_cells,
+        stiffness_cells_dense,
+        tabulate_B,
+    )
+
+    rng = np.random.default_rng(degree)
+    n = (4, 3, 3)[:dim]
+    mesh = create_box(n) if dim == 3 else create_rectangle(n[:2])
+    verts = mesh.vertices.copy()
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    interior = np.all((verts > lo + 1e-12) & (verts < hi - 1e-12), axis=1)
+    verts[interior] += 0.04 * (rng.random((int(interior.sum()), dim)) - 0.5)
+    mesh.vertices = verts
+    mesh.uniform_hint = False
+    ops = SEMOperators(mesh, degree, dtype=jnp.float64)
+    N = ops.N
+    z = jnp.asarray(rng.standard_normal((mesh.num_cells,) + (N,) * dim))
+    D = jnp.asarray(diff_matrix(N), jnp.float64)
+    B = jnp.asarray(tabulate_B(N, dim), jnp.float64)
+    y_sf = stiffness_cells(D, ops.G, z, dim)
+    y_de = stiffness_cells_dense(B, ops.G, z, dim)
+    scale = float(jnp.max(jnp.abs(y_sf)))
+    assert float(jnp.max(jnp.abs(y_de - y_sf))) / scale < 1e-12
+    q = jnp.asarray(rng.uniform(0.5, 2.0, (mesh.num_cells,) + (N,) * dim))
+    y_sf = stiffness_cells(D, ops.G, z, dim, qcoeff=q)
+    y_de = stiffness_cells_dense(B, ops.G, z, dim, qcoeff=q)
+    assert float(jnp.max(jnp.abs(y_de - y_sf))) / scale < 1e-12
