@@ -14,6 +14,7 @@ Public API mirrors the reference package exports
 from .core.bowl import bowl_cap_area, create_bowl_box  # noqa: F401
 from .core.mesh import (  # noqa: F401
     Mesh,
+    as_unstructured,
     create_box,
     create_interval,
     create_rectangle,
@@ -52,6 +53,7 @@ __all__ = [
     "Mesh",
     "create_interval",
     "create_rectangle",
+    "as_unstructured",
     "create_box",
     "create_bowl_box",
     "bowl_cap_area",

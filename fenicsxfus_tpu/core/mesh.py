@@ -122,6 +122,24 @@ def create_box(
     return _structured(n, lo, hi)
 
 
+def as_unstructured(mesh: Mesh) -> Mesh:
+    """A view of ``mesh`` with the structured-lattice metadata stripped, so
+    the space builds the blocked entity-class numbering and the mesh can be
+    partitioned by ``parallel.unstructured`` (the route for sharding
+    DEFORMED lattices — e.g. bowl-fitted meshes, which the grid/slab
+    decompositions reject because they assume uniform geometry). Shares
+    vertex/cell/tag arrays with the original."""
+    return Mesh(
+        dim=mesh.dim,
+        vertices=mesh.vertices,
+        cells=mesh.cells,
+        facet_tags=mesh.facet_tags,
+        cell_tags=mesh.cell_tags,
+        grid_shape=None,
+        uniform_hint=False,
+    )
+
+
 def boundary_facets(mesh: Mesh) -> np.ndarray:
     """All exterior facets as an [Nf, 2] array of (cell, local_face).
 

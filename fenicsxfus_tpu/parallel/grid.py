@@ -77,8 +77,9 @@ class GridDecomposition:
             # sharded solver (parallel/unstructured.py) or single-device.
             raise ValueError(
                 "grid decomposition requires a uniform lattice; this mesh "
-                "is deformed (uniform_hint=False) — use "
-                "ShardedUnstructuredExplicitSolver or a single device"
+                "is deformed (uniform_hint=False) — shard it with "
+                "as_unstructured(mesh) + ShardedUnstructuredExplicitSolver, "
+                "or run single-device (hybrid fast path)"
             )
         self._setup(
             mesh.grid_shape,

@@ -86,8 +86,9 @@ class SlabDecomposition:
         if getattr(mesh, "uniform_hint", True) is False:
             raise ValueError(
                 "slab decomposition requires a uniform lattice; this mesh "
-                "is deformed (uniform_hint=False) — use "
-                "ShardedUnstructuredExplicitSolver or a single device"
+                "is deformed (uniform_hint=False) — shard it with "
+                "as_unstructured(mesh) + ShardedUnstructuredExplicitSolver, "
+                "or run single-device (hybrid fast path)"
             )
         self._setup(
             mesh.grid_shape,

@@ -143,3 +143,43 @@ def test_sensor_indices_on_bowl_mesh():
         d_got = np.linalg.norm(got[j] - pts[:, j])
         d_best = np.min(np.linalg.norm(coords - pts[:, j][None, :], axis=1))
         assert d_got < d_best + 1e-12  # exactly the nearest node
+
+
+@pytest.mark.slow
+def test_bowl_mesh_shards_via_unstructured():
+    """Deformed lattices scale out through the unstructured partition:
+    as_unstructured(bowl mesh) + ShardedUnstructuredExplicitSolver ==
+    the single-device hybrid solve (compared through coordinates — the
+    two paths number DOFs differently)."""
+    from fenicsxfus_tpu.core.mesh import as_unstructured
+    from fenicsxfus_tpu.parallel.unstructured import (
+        ShardedUnstructuredExplicitSolver,
+    )
+
+    mesh, _ = create_bowl_box((8, 6, 6), (0, 0, 0), (1.0, 0.7, 0.7), 0.5, 0.25)
+    umesh = as_unstructured(mesh)
+
+    def make(msh):
+        m = fus.LinearSpectralExplicit(
+            msh, None, 2, 1.0, 1.0, 3.0, 1.0, 1.0, 4,
+            0.4 * mesh.h_min() / 4.0, dtype=jnp.float64,
+        )
+        m.init()
+        return m
+
+    m1 = make(mesh)
+    assert m1.ops.hybrid is not None
+    u1, *_ = m1.rk(0.0, 30 * m1.dt)
+    m2 = make(umesh)
+    assert m2.ops.hybrid is None
+    sh = ShardedUnstructuredExplicitSolver(m2, ndev=4)
+    u2, *_ = sh.rk(0.0, 30 * m2.dt)
+    c1 = m1.ops.dof_coords()
+    c2 = m2.ops.dof_coords()
+    from scipy.spatial import cKDTree
+
+    dist, perm = cKDTree(c2).query(c1)
+    assert dist.max() < 1e-12
+    scale = np.max(np.abs(np.asarray(u1)))
+    err = np.max(np.abs(np.asarray(u2)[perm] - np.asarray(u1))) / scale
+    assert err < 1e-11, err
