@@ -85,6 +85,110 @@ class SpectralModelBase:
         return self.ops.ndofs
 
 
+    def sensor_indices(self, points) -> np.ndarray:
+        """Nearest-DOF indices for sensor ``points`` [dim, n]. On the
+        structured meshes used by the benchmark drivers the sensors are
+        placed on lattice nodes, so this is exact. Lattice meshes snap in
+        O(n) closed form per axis; unstructured meshes use a KD-tree (the
+        round-1 brute-force distance scan cost ~30 s per call at 2M DOF on
+        this single-core host — longer than the runs it instrumented)."""
+        pts = np.asarray(points, np.float64)
+        lat = getattr(self.ops, "lattice", None)
+        mesh = self.mesh
+        if lat is not None and mesh.grid_shape is not None:
+            from ..core.gll import gll_points_weights_01
+
+            hyb = getattr(self.ops, "hybrid", None)
+            # hybrid (bowl-deformed) lattices: the closed-form snap must use
+            # the UNIFORM box origin, not vertices.min() — the pulled-back
+            # cap shifts the min by a full sagitta (~1.3 cells), silently
+            # displacing every sensor (caught by the O'Neil gate).
+            lo = (
+                np.asarray(mesh.uniform_box[0])
+                if hyb is not None
+                else mesh.vertices.min(axis=0)
+            )
+            gll, _ = gll_points_weights_01(lat.N)
+            d = mesh.dim
+            per_axis = []
+            for a in range(d):
+                xi = (pts[a] - lo[a]) / lat.h[a]
+                cell = np.clip(np.floor(xi).astype(np.int64), 0, lat.grid[a] - 1)
+                loc = np.clip(xi - cell, 0.0, 1.0)
+                node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
+                per_axis.append(cell * lat.p + node)
+            idx = np.ravel_multi_index(per_axis, lat.gdims)
+            if hyb is not None:
+                # inside the deformed band the logical lattice positions
+                # are not the physical node positions — refine those points
+                # against the TRUE node coordinates of the band cells only
+                # (O(band) memory; never materializes global dof_coords)
+                depth = lo[0] + hyb["bx"] * lat.h[0]
+                inside = pts[0] < depth
+                if inside.any():
+                    from ..core.space import cell_node_coords
+
+                    nb = hyb["nb"]
+                    dofs_b = np.asarray(
+                        self.ops.space.dofmap_for_cells(np.arange(nb))
+                    ).reshape(-1)
+                    coords_b = cell_node_coords(
+                        mesh, lat.N, cells=np.arange(nb)
+                    ).reshape(-1, mesh.dim)
+                    sub = pts[:, inside].T
+                    try:
+                        from scipy.spatial import cKDTree
+
+                        q = cKDTree(coords_b).query(sub)[1]
+                    except ImportError:
+                        q = np.array([
+                            np.argmin(np.sum((coords_b - s) ** 2, axis=1))
+                            for s in sub
+                        ])
+                    idx[inside] = dofs_b[q]
+            return idx
+        try:
+            from scipy.spatial import cKDTree
+
+            tree = cKDTree(self.ops.dof_coords())
+            return tree.query(pts.T)[1].astype(np.int64)
+        except ImportError:
+            coords = self.ops.dof_coords()  # [ndofs, dim]
+            idx = np.empty(pts.shape[1], np.int64)
+            for j in range(pts.shape[1]):
+                d2 = np.sum((coords - pts[:, j][None, :]) ** 2, axis=1)
+                idx[j] = int(np.argmin(d2))
+            return idx
+
+    def _sensor_extractor(self, idx: np.ndarray):
+        """TPU-cheap per-step sensor extraction: slice the static bounding
+        box of the sensor lattice coordinates first (an axial sensor line is
+        a [G0, 1, 1] column), then gather within the tiny box. A raw scalar
+        gather from the full field lowers near-serially on TPU — measured
+        37x slower than the whole fused RK4 step it instruments."""
+        import jax.numpy as _jnp
+
+        lat = getattr(self.ops, "lattice", None)
+        if lat is None:
+            idxj = _jnp.asarray(np.asarray(idx, np.int32))
+            return lambda u: u.reshape(-1)[idxj]
+        gdims = lat.gdims
+        i3 = np.unravel_index(np.asarray(idx, np.int64), gdims)
+        lo = [int(i.min()) for i in i3]
+        hi = [int(i.max()) + 1 for i in i3]
+        box = tuple(h - lo_a for lo_a, h in zip(lo, hi))
+        flat_box = np.ravel_multi_index(
+            [i - lo_a for i, lo_a in zip(i3, lo)], box
+        )
+        flat_box = _jnp.asarray(flat_box.astype(np.int32))
+        sl = tuple(slice(lo_a, h) for lo_a, h in zip(lo, hi))
+
+        def extract(u):
+            return u.reshape(gdims)[sl].reshape(-1)[flat_box]
+
+        return extract
+
+
 class ExplicitModelBase(SpectralModelBase):
     """Explicit-RK models: subclasses define ``rhs(t, u, v) -> (ku, kv)``."""
 
@@ -213,109 +317,6 @@ class ExplicitModelBase(SpectralModelBase):
 
     # -- in-scan sensor recording ------------------------------------------
 
-    def sensor_indices(self, points) -> np.ndarray:
-        """Nearest-DOF indices for sensor ``points`` [dim, n]. On the
-        structured meshes used by the benchmark drivers the sensors are
-        placed on lattice nodes, so this is exact. Lattice meshes snap in
-        O(n) closed form per axis; unstructured meshes use a KD-tree (the
-        round-1 brute-force distance scan cost ~30 s per call at 2M DOF on
-        this single-core host — longer than the runs it instrumented)."""
-        pts = np.asarray(points, np.float64)
-        lat = getattr(self.ops, "lattice", None)
-        mesh = self.mesh
-        if lat is not None and mesh.grid_shape is not None:
-            from ..core.gll import gll_points_weights_01
-
-            hyb = getattr(self.ops, "hybrid", None)
-            # hybrid (bowl-deformed) lattices: the closed-form snap must use
-            # the UNIFORM box origin, not vertices.min() — the pulled-back
-            # cap shifts the min by a full sagitta (~1.3 cells), silently
-            # displacing every sensor (caught by the O'Neil gate).
-            lo = (
-                np.asarray(mesh.uniform_box[0])
-                if hyb is not None
-                else mesh.vertices.min(axis=0)
-            )
-            gll, _ = gll_points_weights_01(lat.N)
-            d = mesh.dim
-            per_axis = []
-            for a in range(d):
-                xi = (pts[a] - lo[a]) / lat.h[a]
-                cell = np.clip(np.floor(xi).astype(np.int64), 0, lat.grid[a] - 1)
-                loc = np.clip(xi - cell, 0.0, 1.0)
-                node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
-                per_axis.append(cell * lat.p + node)
-            idx = np.ravel_multi_index(per_axis, lat.gdims)
-            if hyb is not None:
-                # inside the deformed band the logical lattice positions
-                # are not the physical node positions — refine those points
-                # against the TRUE node coordinates of the band cells only
-                # (O(band) memory; never materializes global dof_coords)
-                depth = lo[0] + hyb["bx"] * lat.h[0]
-                inside = pts[0] < depth
-                if inside.any():
-                    from ..core.space import cell_node_coords
-
-                    nb = hyb["nb"]
-                    dofs_b = np.asarray(
-                        self.ops.space.dofmap_for_cells(np.arange(nb))
-                    ).reshape(-1)
-                    coords_b = cell_node_coords(
-                        mesh, lat.N, cells=np.arange(nb)
-                    ).reshape(-1, mesh.dim)
-                    sub = pts[:, inside].T
-                    try:
-                        from scipy.spatial import cKDTree
-
-                        q = cKDTree(coords_b).query(sub)[1]
-                    except ImportError:
-                        q = np.array([
-                            np.argmin(np.sum((coords_b - s) ** 2, axis=1))
-                            for s in sub
-                        ])
-                    idx[inside] = dofs_b[q]
-            return idx
-        try:
-            from scipy.spatial import cKDTree
-
-            tree = cKDTree(self.ops.dof_coords())
-            return tree.query(pts.T)[1].astype(np.int64)
-        except ImportError:
-            coords = self.ops.dof_coords()  # [ndofs, dim]
-            idx = np.empty(pts.shape[1], np.int64)
-            for j in range(pts.shape[1]):
-                d2 = np.sum((coords - pts[:, j][None, :]) ** 2, axis=1)
-                idx[j] = int(np.argmin(d2))
-            return idx
-
-    def _sensor_extractor(self, idx: np.ndarray):
-        """TPU-cheap per-step sensor extraction: slice the static bounding
-        box of the sensor lattice coordinates first (an axial sensor line is
-        a [G0, 1, 1] column), then gather within the tiny box. A raw scalar
-        gather from the full field lowers near-serially on TPU — measured
-        37x slower than the whole fused RK4 step it instruments."""
-        import jax.numpy as _jnp
-
-        lat = getattr(self.ops, "lattice", None)
-        if lat is None:
-            idxj = _jnp.asarray(np.asarray(idx, np.int32))
-            return lambda u: u.reshape(-1)[idxj]
-        gdims = lat.gdims
-        i3 = np.unravel_index(np.asarray(idx, np.int64), gdims)
-        lo = [int(i.min()) for i in i3]
-        hi = [int(i.max()) + 1 for i in i3]
-        box = tuple(h - lo_a for lo_a, h in zip(lo, hi))
-        flat_box = np.ravel_multi_index(
-            [i - lo_a for i, lo_a in zip(i3, lo)], box
-        )
-        flat_box = _jnp.asarray(flat_box.astype(np.int32))
-        sl = tuple(slice(lo_a, h) for lo_a, h in zip(lo, hi))
-
-        def extract(u):
-            return u.reshape(gdims)[sl].reshape(-1)[flat_box]
-
-        return extract
-
     def rk_record(self, t0: float, tf: float, points):
         """Time-march like ``rk`` while recording u(t) at sensor ``points``
         every step, device-side inside the scan (reference workflow records
@@ -418,12 +419,21 @@ class ImplicitModelBase(SpectralModelBase):
             stats = jnp.stack([it_max.astype(v0.dtype), res_max])
             return (u_acc, v_acc, t + dtn), stats
 
+        extract = getattr(self, "_rec_extract", None)
+
         @jax.jit
         def run(consts, u, v, t0v, dts):
-            (u, v, t), stats = jax.lax.scan(
-                lambda carry, dtn: step(consts, carry, dtn), (u, v, t0v), dts
-            )
-            return u, v, t, stats
+            def body(carry, dtn):
+                out, stats = step(consts, carry, dtn)
+                if extract is not None:
+                    # one row per step: [it_max, res_max, sensors...] — the
+                    # segmented runner collects a single array
+                    y = extract(out[0]).astype(stats.dtype)
+                    return out, jnp.concatenate([stats, y])
+                return out, stats
+
+            (u, v, t), ys = jax.lax.scan(body, (u, v, t0v), dts)
+            return u, v, t, ys
 
         return run
 
@@ -454,3 +464,34 @@ class ImplicitModelBase(SpectralModelBase):
             )
         self.u_n, self.v_n, self.t = u, v, float(t)
         return self.u_n, self.v_n, self.t
+
+    def dirk_record(self, t0: float, tf: float, points):
+        """``dirk`` + device-side per-step sensor recording (the implicit
+        counterpart of ``ExplicitModelBase.rk_record``). Returns
+        (u, v, t, times [n_steps], ys [n_steps, n_sensors])."""
+        from .common import run_segmented
+
+        idx = self.sensor_indices(points)
+        key = idx.tobytes()
+        cache = getattr(self, "_rec_runs", None)
+        if cache is None:
+            cache = self._rec_runs = {}
+        run = cache.get(key)
+        if run is None:
+            self._rec_extract = self._sensor_extractor(idx)
+            run = self._build_run()
+            del self._rec_extract
+            cache[key] = run
+        dts = np.asarray(step_sizes(t0, tf, self.dt))
+        u, v, t, rows = run_segmented(
+            run, self.consts, self.u_n, self.v_n, t0, dts, self.dtype,
+            collect_ys=True,
+        )
+        rows = np.asarray(rows)
+        self.cg_stats = {
+            "max_iterations": int(np.max(rows[:, 0])),
+            "max_residual2": float(np.max(rows[:, 1])),
+        }
+        times = t0 + np.cumsum(dts)
+        self.u_n, self.v_n, self.t = u, v, float(t)
+        return u, v, float(t), times, rows[:, 2:]

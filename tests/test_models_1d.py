@@ -200,3 +200,25 @@ def test_westervelt_vs_mendousse():
     exact = float(mendousse(xsh, tf, c0, f0, p0, rho0, beta0, delta0))
     rel = abs(vals[0] - exact) / abs(exact)
     assert rel < 0.1, (vals[0], exact, rel)  # reference Westervelt gate; 0.1% at p=10 (benchmarks/mendousse.py)
+
+
+def test_implicit_dirk_record():
+    """dirk_record == dirk final state, and the recorded series ends at the
+    final field values at the sensor DOFs (implicit counterpart of
+    rk_record; reference evaluates sensors only post-run)."""
+    mesh, h = make_mesh(2)
+    args = (4, C0, 4.0, F0, 4.0, C0, 2, 2e-3)
+    m1 = LinearSpectralImplicit(mesh, None, *args, dtype=jnp.float64).init()
+    u_ref, v_ref, _ = m1.dirk(0.0, 0.05)
+
+    m2 = LinearSpectralImplicit(mesh, None, *args, dtype=jnp.float64).init()
+    pts = np.linspace(0.1, 0.9, 5)[None, :]
+    u, v, t, times, ys = m2.dirk_record(0.0, 0.05, pts)
+    assert ys.shape == (len(times), 5)
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    assert np.max(np.abs(np.asarray(u) - np.asarray(u_ref))) / scale < 1e-12
+    idx = m2.sensor_indices(pts)
+    np.testing.assert_allclose(
+        ys[-1], np.asarray(u)[idx], rtol=0, atol=1e-12 * scale
+    )
+    assert m2.cg_stats["max_iterations"] > 0
