@@ -46,8 +46,8 @@ echo "--- [F1] HITU bowl-mesh O'Neil validation (H101 + H131)" >> $R
 timeout 6000 python -u -c "
 import sys; sys.path.insert(0,'benchmarks/hitu')
 import common as c
-c.validate_bowl_mesh('H101', nx=64, out='benchmarks/hitu/results/oneil_bowlmesh_h101.npz')
-c.validate_bowl_mesh('H131', nx=64, out='benchmarks/hitu/results/oneil_bowlmesh_h131.npz')
+c.validate_bowl_mesh('H101', nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h101.npz')
+c.validate_bowl_mesh('H131', nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h131.npz')
 " >> $R 2>&1
 echo "--- [F2] HITU production artifacts (H131 W/V + bowl-mesh H101)" >> $R
 timeout 8000 python -u -c "
@@ -57,6 +57,15 @@ c.run('W','H131','WATER', nx=80, out='benchmarks/hitu/results/w_h131_water.npz')
 c.run('W','H131','LIVER', nx=80, out='benchmarks/hitu/results/w_h131_liver.npz')
 c.run('V','H131','WATER', nx=80, out='benchmarks/hitu/results/v_h131_water.npz')
 c.run('W','H101','WATER', nx=80, bowl=True, out='benchmarks/hitu/results/w_h101_water_bowlmesh.npz')
+" >> $R 2>&1
+
+echo "--- [F3] HITU H131 at the TRUE 1.1 MHz (reference scale; ~86M DOF" >> $R
+echo "    at p=4, 2.75 elems/lambda - fits one chip)" >> $R
+timeout 8000 python -u -c "
+import sys; sys.path.insert(0,'benchmarks/hitu')
+import common as c
+c.run('W','H131','WATER', nx=164, full=True,
+      out='benchmarks/hitu/results/w_h131_water_full11MHz.npz')
 " >> $R 2>&1
 
 echo "--- [G] PH1 validation stamps (SC1-BM1 water + SC1-BM4 bone)" >> $R

@@ -234,5 +234,69 @@ def create_bowl_box(
     v[:, 0] += s * fade
     mesh.vertices = v
 
+    # validity: intermediate fade planes can create near-degenerate cells
+    # (tangentially rim-rotated vertices linearly interpolated toward their
+    # lattice positions may sweep across a neighbour column — observed
+    # min detJ ~3e-10 at blend = 9 sagittae, which NaNs the solve at the
+    # nominal CFL). Check the band's corner Jacobians; if squeezed, relax
+    # the interior band planes (cap layer and the uniform region stay
+    # pinned, so the tagged surface and the hybrid split are unaffected),
+    # and raise rather than return a mesh that will silently blow up.
+    _ensure_band_validity(mesh, n, blend_layers=mesh.blend_layers)
+
     focus = np.array([x0 + xf, center_yz[0], center_yz[1]])
     return mesh, focus
+
+
+def _ensure_band_validity(mesh, n, blend_layers: int, floor: float = 0.01):
+    """Raise (after attempting band relaxation) if any blend-band cell's
+    corner detJ falls below ``floor`` x the uniform cell volume. Healthy
+    rim-snapped meshes sit at 0.016-0.10 (the pinned rim + smoothing
+    squeeze corners — all physics gates pass there); true interpolation
+    degeneracy measures ~1e-10 and NaNs the solve."""
+    from .geometry import volume_factors
+
+    nb = min(blend_layers + 1, n[0]) * n[1] * n[2]
+    uni_detJ = np.prod(
+        (mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0))
+        / np.asarray(n)
+    )
+
+    def band_quality():
+        sub = Mesh(
+            dim=3, vertices=mesh.vertices, cells=mesh.cells[:nb]
+        )
+        try:
+            wdetJ, _ = volume_factors(sub, 2)
+        except Exception:
+            return -1.0
+        # N=2 quadrature weights are 1/8 per corner on [0,1]^3
+        return float(wdetJ.min()) * 8.0 / uni_detJ
+
+    q = band_quality()
+    if q >= floor:
+        return
+    shape = (n[0] + 1, n[1] + 1, n[2] + 1, 3)
+    for _ in range(8):
+        v = mesh.vertices.reshape(shape).copy()
+        inner = v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, 1:-1]
+        nbavg = (
+            v[0 : min(blend_layers, n[0] - 1), 1:-1, 1:-1]
+            + v[2 : min(blend_layers, n[0] - 1) + 2, 1:-1, 1:-1]
+            + v[1 : min(blend_layers, n[0] - 1) + 1, :-2, 1:-1]
+            + v[1 : min(blend_layers, n[0] - 1) + 1, 2:, 1:-1]
+            + v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, :-2]
+            + v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, 2:]
+        ) / 6.0
+        v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, 1:-1] = (
+            0.5 * inner + 0.5 * nbavg
+        )
+        mesh.vertices = v.reshape(-1, 3)
+        q = band_quality()
+        if q >= floor:
+            return
+    raise ValueError(
+        f"bowl mesh blend band has near-degenerate cells (min detJ "
+        f"{q:.2e} of uniform after relaxation) — reduce `blend`/"
+        "`lateral_hold` or refine the lateral resolution"
+    )

@@ -80,3 +80,32 @@ def test_focus_matches_oneil():
     assert 0.8 < float(np.max(amp)) / float(np.max(oneil)) < 1.25
     l2 = np.linalg.norm(amp - oneil) / np.linalg.norm(oneil)
     assert l2 < 0.15
+
+
+def test_long_blend_band_is_rescued():
+    """A long blend (9 sagittae) used to produce near-degenerate cells
+    (min detJ ~3e-10 of uniform — NaN at the nominal CFL); the band
+    relaxation must restore validity without touching the cap layer or
+    the uniform bulk."""
+    n = (14, 12, 12)
+    mesh, _ = create_bowl_box(n, (0, 0, 0), (1.0, 0.9, 0.9), 0.7, 0.35,
+                              blend=0.84)
+    wdetJ, _ = volume_factors(mesh, 2)
+    uni = (1.0 / 14) * (0.9 / 12) ** 2
+    assert float(wdetJ.min()) * 8.0 / uni > 5e-3
+    # the uniform bulk is untouched: vertex planes beyond the blend band
+    # sit exactly on the lattice
+    v = mesh.vertices.reshape(15, 13, 13, 3)
+    for ix in range(mesh.blend_layers + 1, 15):
+        assert np.allclose(v[ix, :, :, 0], ix / 14.0, atol=1e-14)
+        assert np.allclose(v[ix, :, :, 1], np.linspace(0, 0.9, 13)[:, None],
+                           atol=1e-14)
+    # and the cap layer keeps the fitted rim (tagged area unchanged)
+    from fenicsxfus_tpu.core.space import FunctionSpace as _FS
+
+    sp = _FS(mesh, 2)
+    _, w, _ = facet_factors(mesh, sp, mesh.facet_tags[1])
+    area_err = abs(float(w.sum()) - bowl_cap_area(0.7, 0.35)) / bowl_cap_area(
+        0.7, 0.35
+    )
+    assert area_err < 0.05
