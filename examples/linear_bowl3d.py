@@ -40,7 +40,9 @@ def main(nx=48, degree=4):
     mesh, focus = create_bowl_box(
         (nx, nyz, nyz), (0.0, -W / 2, -W / 2), (L, W / 2, W / 2), roc, a
     )
-    dt = 0.4 * mesh.h_min() / (c0 * degree**2)
+    # 0.3: skewed blend-band cells raise the spectral radius beyond what
+    # h_min implies — 0.4 is marginally unstable in fp32 at coarse nx
+    dt = 0.3 * mesh.h_min() / (c0 * degree**2)
     eqn = LinearSpectralExplicit(
         mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
     )
