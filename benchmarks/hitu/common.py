@@ -162,6 +162,15 @@ def build_bowl_model(kind: str, tx: str, medium: str, nx: int,
         dtype=dtype,
     )
     model.init()
+    # skewed blend-band cells raise the spectral radius beyond the h_min
+    # heuristic — clamp dt with the measured operator spectrum
+    from fenicsxfus_tpu import estimate_stable_dt
+
+    dt_star = estimate_stable_dt(model.ops, c0, rho0, rk_order=4)
+    if dt_star < dt:
+        spp = int(1 / f0 / dt_star) + 1
+        dt = 1 / f0 / spp
+        model.dt = dt
     return model, h, dt, spp
 
 

@@ -239,6 +239,15 @@ def build_model(sc: int, bm: int, nx: int, dtype=None, cfl=0.5,
             center=np.array([0.0, 0.0, 0.0]), dtype=dtype,
         )
     model.init()
+    if bowl:
+        # skewed blend-band cells: clamp dt with the measured spectrum
+        from fenicsxfus_tpu import estimate_stable_dt
+
+        dt_star = estimate_stable_dt(model.ops, c0, rho0, rk_order=4)
+        if dt_star < dt:
+            steps_per_period = int(period / dt_star) + 1
+            dt = period / steps_per_period
+            model.dt = dt
     return model, mesh, h_cfl, dt, steps_per_period
 
 

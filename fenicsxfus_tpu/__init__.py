@@ -45,6 +45,7 @@ from .models.westervelt import WesterveltSpectralExplicit  # noqa: F401
 from .ops.operators import SEMOperators  # noqa: F401
 from .utils import (  # noqa: F401
     compute_diffusivity_of_sound,
+    estimate_stable_dt,
     compute_eval_params,
     eval_function,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "SoundSoftExact2D",
     "PenetrableExact2D",
     "compute_diffusivity_of_sound",
+    "estimate_stable_dt",
     "compute_eval_params",
     "eval_function",
 ]

@@ -86,3 +86,49 @@ def eval_function(ops, u, points: np.ndarray) -> np.ndarray:
             w = np.multiply.outer(w, t).reshape(-1)
         vals[i] = w @ uc[i]
     return pts, vals
+
+
+def estimate_stable_dt(ops, c0, rho0, rk_order: int = 4, safety: float = 0.85,
+                       iters: int = 40, seed: int = 0) -> float:
+    """Spectral-radius-based stable timestep for the explicit wave solvers.
+
+    The reference sizes dt from h_min (CFL·h/(c·p²),
+    ``cpp/.../W-H131-WATER/main.cpp:108-111``) — adequate on the uniform
+    meshes it runs, but on deformed (bowl-fitted) lattices the skewed
+    blend-band cells raise the operator's spectral radius beyond what the
+    shortest edge implies (measured: CFL 0.4 marginally unstable in fp32
+    where 0.3 is fine). This measures the thing that actually matters:
+    power-iterate λ_max of M⁻¹K_{c²/ρ} (the first-order system's
+    eigenfrequencies are ω = √λ) and return
+    ``safety · s_rk / ω_max`` with ``s_rk`` the RK method's
+    imaginary-axis stability extent (2√2 for classical RK4).
+
+    Host-side fp64; ~``iters`` operator applies — negligible against the
+    thousands of steps it sizes.
+    """
+    import jax.numpy as jnp
+
+    s_rk = {1: 0.0, 2: 0.0, 3: 1.7320508, 4: 2.8284271}.get(int(rk_order))
+    if not s_rk:
+        # RK1/RK2 have no imaginary-axis interval; fall back to the RK3
+        # extent scaled down (practical damping from the ABC terms keeps
+        # the spectrum slightly off-axis)
+        s_rk = 1.0
+    nc = ops.num_cells
+    c_arr = np.broadcast_to(np.asarray(c0, np.float64).reshape(-1), (nc,))
+    r_arr = np.broadcast_to(np.asarray(rho0, np.float64).reshape(-1), (nc,))
+    kcoef = ops.stiff_coeff(c_arr**2 / r_arr)
+    minv = 1.0 / jnp.clip(ops.assemble_diag(1.0 / r_arr), 1e-300)
+    rng = np.random.default_rng(seed)
+    z = jnp.asarray(rng.standard_normal(ops.ndofs), minv.dtype)
+    lam = 0.0
+    for _ in range(iters):
+        w = minv * ops.stiffness_apply([z], [kcoef])
+        nrm = float(jnp.linalg.norm(w))
+        lam = nrm / float(jnp.linalg.norm(z))
+        z = w / nrm
+    # one Rayleigh refinement
+    w = minv * ops.stiffness_apply([z], [kcoef])
+    lam = float(jnp.vdot(z, w).real)
+    omega = float(np.sqrt(max(lam, 1e-300)))
+    return safety * s_rk / omega
