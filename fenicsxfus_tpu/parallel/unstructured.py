@@ -443,6 +443,23 @@ class UnstructuredDecomposition:
         out[self.map_idx[a]] = s[a]
         return out
 
+    def locate_dofs(self, gdofs):
+        """Global DOF indices → (device, local slot); replicated rows
+        resolve to their first authoritative holder (replicas are kept
+        identical by the completion exchange)."""
+        dev_a, slot_a = np.nonzero(self.auth)
+        g_a = self.map_idx[dev_a, slot_a]
+        order = np.argsort(g_a, kind="stable")
+        g_sorted = g_a[order]
+        pos = np.searchsorted(g_sorted, gdofs)
+        ok = (pos < len(g_sorted)) & (
+            g_sorted[np.minimum(pos, len(g_sorted) - 1)] == gdofs
+        )
+        if not np.all(ok):
+            raise ValueError("sensor DOF has no authoritative row")
+        sel = order[pos]
+        return dev_a[sel], slot_a[sel]
+
     def dot_weights(self) -> jnp.ndarray:
         """1/(replica count) at authoritative rows, 0 elsewhere — makes
         Σ_dev Σ_local w·x·y the true global dot product."""
@@ -608,6 +625,109 @@ class ShardedUnstructuredExplicitSolver:
         model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
         model.t = t0 + float(np.sum(dts))
         return model.u_n, model.v_n, model.t
+
+    # -- in-scan sensor recording (sharded) --------------------------------
+
+    def _sensor_plan(self, points):
+        """(extract, sharded slot table, dev, slot) — per-device padded
+        slot tables; extraction uses per-sensor dynamic slices (the blocked
+        numbering has no lattice box to window, and m tiny 1-element
+        dynamic slices lower far better than one scattered gather on TPU)."""
+        dec = self.dec
+        gdofs = self.model.sensor_indices(points)
+        dev, slot = dec.locate_dofs(np.asarray(gdofs))
+        n = dev.size
+        m = max(int(np.max(np.bincount(dev, minlength=dec.ndev))), 1)
+        tab = np.zeros((dec.ndev, m), np.int32)
+        dslot = np.zeros(n, np.int64)
+        counts = np.zeros(dec.ndev, np.int64)
+        for j in range(n):
+            dd = int(dev[j])
+            tab[dd, counts[dd]] = slot[j]
+            dslot[j] = counts[dd]
+            counts[dd] += 1
+
+        def extract(u_local, tab_local):
+            return jnp.stack([
+                jax.lax.dynamic_slice(u_local, (tab_local[j],), (1,))[0]
+                for j in range(m)
+            ])
+
+        tab_sharded = jax.device_put(jnp.asarray(tab), dec.sharding)
+        return extract, tab_sharded, dev, dslot
+
+    def rk_record(self, t0: float, tf: float, points):
+        """``rk`` + device-side per-step sensor recording; identical series
+        to the single-device ``model.rk_record`` (multi-chip analogue of
+        ``cpp/mwe/parallel_eval_line/main.cpp:49-107``)."""
+        from ..models.common import run_segmented
+
+        extract, tab, dev, slot = self._sensor_plan(points)
+        a, b, c = explicit_tables(self.model.rk_order)
+        dec, model = self.dec, self.model
+        rhs = type(model).rhs_pure
+
+        key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
+        cache = getattr(self, "_rec_runs", None)
+        if cache is None:
+            cache = self._rec_runs = {}
+        run = cache.get(key)
+        if run is None:
+
+            def local_step(consts, ops, carry, dtn):
+                u0, v0, t = carry
+                ku = jnp.zeros_like(u0)
+                kv = jnp.zeros_like(v0)
+                u_acc, v_acc = u0, v0
+                for i in range(len(b)):
+                    un = u0 + (a[i] * dtn) * ku
+                    vn = v0 + (a[i] * dtn) * kv
+                    tn = t + c[i] * dtn
+                    ku, kv = rhs(ops, consts, tn, un, vn)
+                    u_acc = u_acc + (b[i] * dtn) * ku
+                    v_acc = v_acc + (b[i] * dtn) * kv
+                return (u_acc, v_acc, t + dtn), None
+
+            def local_run(consts, tables, tabl, u, v, t0v, dts):
+                consts = _local(consts)
+                tables = _local(tables)
+                ops = LocalUnstructuredOps(dec, tables)
+                u, v, tabl = u[0], v[0], tabl[0]
+
+                def body(carry, dtn):
+                    out, _ = local_step(consts, ops, carry, dtn)
+                    return out, extract(out[0], tabl)
+
+                (u, v, t), ys = jax.lax.scan(body, (u, v, t0v), dts)
+                return u[None], v[None], t, ys[:, None]
+
+            rec = jax.jit(jax.shard_map(
+                local_run,
+                mesh=dec.jmesh,
+                in_specs=(
+                    _specs(self.consts), _specs(dec.tables),
+                    P(AXIS), P(AXIS), P(AXIS), P(), P(),
+                ),
+                out_specs=(P(AXIS), P(AXIS), P(), P(None, AXIS)),
+                check_vma=False,
+            ))
+            run = lambda cst, uu, vv, tt, seg: rec(  # noqa: E731
+                cst, dec.tables, tab, uu, vv, tt, seg
+            )
+            cache[key] = run
+
+        u = dec.to_stacked(model.u_n)
+        v = dec.to_stacked(model.v_n)
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, ys = run_segmented(
+            run, self.consts, u, v, t0, dts, model.dtype, collect_ys=True
+        )
+        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
+        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
+        model.t = t0 + float(np.sum(dts))
+        times = t0 + np.cumsum(dts)
+        return (model.u_n, model.v_n, model.t, times,
+                np.asarray(ys)[:, dev, slot])
 
 
 class ShardedUnstructuredImplicitSolver:

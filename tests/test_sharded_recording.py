@@ -118,3 +118,42 @@ def test_streamed_rejects_nonzero_initial_state():
     sol.model.u_n = jnp.ones_like(sol.model.u_n)
     with pytest.raises(ValueError, match="zero fields"):
         sol.rk(0.0, 2e-3)
+
+
+def test_unstructured_rk_record():
+    """Sharded unstructured recording == single-device rk_record (the
+    route multi-chip bowl runs use)."""
+    from fenicsxfus_tpu.core.mesh import Mesh, as_unstructured
+    from fenicsxfus_tpu.parallel.unstructured import (
+        ShardedUnstructuredExplicitSolver,
+    )
+
+    rng = np.random.default_rng(0)
+    base = create_box((7, 3, 3), (0, 0, 0), (1.0, 0.4, 0.4))
+    verts = base.vertices.copy()
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    interior = np.all((verts > lo + 1e-12) & (verts < hi - 1e-12), axis=1)
+    verts[interior] += 0.02 * (rng.random((int(interior.sum()), 3)) - 0.5)
+    mesh = Mesh(dim=3, vertices=verts, cells=np.asarray(base.cells))
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12}
+    )
+
+    def make():
+        m = WesterveltSpectralExplicit(
+            mesh, None, 2, 1.5, 1.0, 4e-3, 3.5, 10.0, 1.0, 1.5, 4,
+            0.15 / 7 / 1.5 / 4, dtype=jnp.float64,
+        )
+        m.init()
+        return m
+
+    pts = _axial_points(6)
+    m1 = make()
+    t_end = 30 * m1.dt
+    *_, times1, ys1 = m1.rk_record(0.0, t_end, pts)
+    m2 = make()
+    sh = ShardedUnstructuredExplicitSolver(m2, ndev=4)
+    u2, v2, t2, times2, ys2 = sh.rk_record(0.0, t_end, pts)
+    np.testing.assert_allclose(times1, times2, rtol=0, atol=1e-14)
+    scale = np.max(np.abs(np.asarray(ys1))) + 1e-300
+    assert np.max(np.abs(np.asarray(ys2) - np.asarray(ys1))) / scale < 1e-11
