@@ -78,4 +78,9 @@ validate(1, 4, 80, 112)
 echo "--- [H] unstructured end-to-end solve benchmark" >> $R
 timeout 6000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 
+echo "--- [I] blocked v1 vs v2 (transpose-gather scatter) A/B" >> $R
+timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
+
 echo "=== $(date) r3 queue done ===" >> $R

@@ -28,11 +28,39 @@ cell masks — no data-dependent indexing anywhere in the hot loop.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _PREC = jax.lax.Precision.HIGHEST  # 0/1 matmuls must not truncate to bf16
+
+
+def _use_v2() -> bool:
+    """FUS_BLOCKED=v2 replaces the per-slot scatter-adds with
+    transpose-gathers from precomputed incidence tables (and fuses the
+    per-slot gathers into one row gather per entity class). Same math,
+    different schedule; default stays v1 until the A/B lands on silicon."""
+    return os.environ.get("FUS_BLOCKED", "v1") == "v2"
+
+
+def _incidence(ids: np.ndarray, n_entities: int) -> np.ndarray:
+    """[n_entities, K] table: row j of entity e is the flat (slot-major)
+    piece-row index ``k * nc + c`` of the j-th incident (local slot k,
+    cell c); padded with ``ns * nc`` (a zeros row) up to the max incidence
+    K. Entity assembly then is K row gathers + adds — no scatter."""
+    nc, ns = ids.shape
+    flat = ids.T.reshape(-1).astype(np.int64)  # slot-major == piece stacking
+    order = np.argsort(flat, kind="stable")
+    sorted_ids = flat[order]
+    counts = np.bincount(flat, minlength=n_entities)
+    K = int(counts.max()) if len(counts) else 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(order)) - starts[sorted_ids]
+    inc = np.full((n_entities, K), ns * nc, np.int64)
+    inc[sorted_ids, pos] = order
+    return inc
 
 VPAD = 8  # minimum lane-padded row width for entity tables
 
@@ -186,6 +214,30 @@ class BlockedAssembly:
                 gblocks.append(np.asarray(P))
             self.G = jnp.asarray(np.concatenate(gblocks, axis=0))
             self._block_widths = [g.shape[0] for g in gblocks]
+            # v2 transpose-gather tables (cheap numpy; built eagerly so the
+            # FUS_BLOCKED flag can select at apply time)
+            if self.face_data:
+                self.incF_j = jnp.asarray(
+                    _incidence(conn.face_ids, conn.num_faces).astype(np.int32)
+                )
+                self.fids_flat_j = jnp.asarray(
+                    conn.face_ids.T.reshape(-1).astype(np.int32)
+                )
+            if self.edge_data:
+                self.incE_j = jnp.asarray(
+                    _incidence(conn.edge_ids, conn.num_edges).astype(np.int32)
+                )
+                self.eids_flat_j = jnp.asarray(
+                    conn.edge_ids.T.reshape(-1).astype(np.int32)
+                )
+            self.incV_j = jnp.asarray(
+                _incidence(
+                    np.asarray(mesh.cells), mesh.num_vertices
+                ).astype(np.int32)
+            )
+            self.cells_flat_j = jnp.asarray(
+                np.asarray(mesh.cells).T.reshape(-1).astype(np.int32)
+            )
 
     # ------------------------------------------------------------- tables
     def _entity_tables(self, x):
@@ -233,16 +285,34 @@ class BlockedAssembly:
         pieces = []
         if m > 0:
             pieces.append(x[off["I"] : off["F"]].reshape(nc, m**d))
-        for k in range(len(self.face_data)):
-            pieces.append(
-                self._oriented(xF[self.fids_j[:, k]], "f", k)
-            )
-        for k in range(len(self.edge_data)):
-            pieces.append(
-                self._oriented(xE[self.eids_j[:, k]], "e", k)
-            )
-        for v in range(2**d):
-            pieces.append(xV[self.cells_j[:, v]])
+        if _use_v2():
+            # ONE row gather per entity class (slot-major), sliced per slot
+            if self.face_data:
+                rows = xF[self.fids_flat_j].reshape(
+                    len(self.face_data), nc, -1
+                )
+                for k in range(len(self.face_data)):
+                    pieces.append(self._oriented(rows[k], "f", k))
+            if self.edge_data:
+                rows = xE[self.eids_flat_j].reshape(
+                    len(self.edge_data), nc, -1
+                )
+                for k in range(len(self.edge_data)):
+                    pieces.append(self._oriented(rows[k], "e", k))
+            rows = xV[self.cells_flat_j].reshape(2**d, nc, -1)
+            for v in range(2**d):
+                pieces.append(rows[v])
+        else:
+            for k in range(len(self.face_data)):
+                pieces.append(
+                    self._oriented(xF[self.fids_j[:, k]], "f", k)
+                )
+            for k in range(len(self.edge_data)):
+                pieces.append(
+                    self._oriented(xE[self.eids_j[:, k]], "e", k)
+                )
+            for v in range(2**d):
+                pieces.append(xV[self.cells_j[:, v]])
         big = jnp.concatenate(pieces, axis=1)
         xc = self._mm(big, self.G.astype(x.dtype))
         return xc.reshape((nc,) + (N,) * d)
@@ -265,27 +335,54 @@ class BlockedAssembly:
             i += 1
         else:
             parts.append(jnp.zeros((0,), dt))
+        v2 = _use_v2()
+
+        def _assemble_v2(pieces, inc_j):
+            """Transpose-gather: stack per-slot pieces (+ a zeros pad row),
+            then K row gathers + adds per entity — no scatter-add."""
+            rows = jnp.concatenate(
+                pieces + [jnp.zeros((1, pieces[0].shape[1]), dt)], axis=0
+            )
+            out = rows[inc_j[:, 0]]
+            for j in range(1, inc_j.shape[1]):
+                out = out + rows[inc_j[:, j]]
+            return out
+
         if self.face_data:
             mf = m ** (d - 1)
             nf = (off["E"] - off["F"]) // mf
-            yF = jnp.zeros((nf, _padw(mf)), dt)
+            ps = []
             for k in range(len(self.face_data)):
-                piece = self._oriented(chunks[i], "f", k, transpose=True)
-                yF = yF.at[self.fids_j[:, k]].add(piece)
+                ps.append(self._oriented(chunks[i], "f", k, transpose=True))
                 i += 1
+            if v2:
+                yF = _assemble_v2(ps, self.incF_j)
+            else:
+                yF = jnp.zeros((nf, _padw(mf)), dt)
+                for k, piece in enumerate(ps):
+                    yF = yF.at[self.fids_j[:, k]].add(piece)
             parts.append(yF[:, :mf].reshape(-1))
         if self.edge_data:
             ne = (off["V"] - off["E"]) // m
-            yE = jnp.zeros((ne, _padw(m)), dt)
+            ps = []
             for k in range(len(self.edge_data)):
-                piece = self._oriented(chunks[i], "e", k, transpose=True)
-                yE = yE.at[self.eids_j[:, k]].add(piece)
+                ps.append(self._oriented(chunks[i], "e", k, transpose=True))
                 i += 1
+            if v2:
+                yE = _assemble_v2(ps, self.incE_j)
+            else:
+                yE = jnp.zeros((ne, _padw(m)), dt)
+                for k, piece in enumerate(ps):
+                    yE = yE.at[self.eids_j[:, k]].add(piece)
             parts.append(yE[:, :m].reshape(-1))
         nv = self.space.mesh.num_vertices
-        yV = jnp.zeros((nv, VPAD), dt)
-        for v in range(2**d):
-            yV = yV.at[self.cells_j[:, v]].add(chunks[i])
-            i += 1
+        ps = [chunks[i + v] for v in range(2**d)]
+        i += 2**d
+        if v2:
+            yV = _assemble_v2(ps, self.incV_j)
+        else:
+            yV = jnp.zeros((nv, VPAD), dt)
+            for v, piece in enumerate(ps):
+                yV = yV.at[self.cells_j[:, v]].add(piece)
         parts.append(yV[:, 0])
         return jnp.concatenate(parts)

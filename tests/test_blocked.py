@@ -86,6 +86,29 @@ def test_stiffness_blocked_vs_oracle(dim):
     assert np.max(np.abs(y_fast - y_ref)) < 1e-13 * scale
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("degree", [1, 2, 4])
+def test_v2_transpose_gather_matches_v1(dim, degree, monkeypatch):
+    """FUS_BLOCKED=v2 (fused gathers + incidence-table transpose-gather
+    scatter) must match the v1 schedule bit-for-bit on integer data."""
+    mesh = MESHES[dim]()
+    ops = SEMOperators(mesh, degree, dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(-8, 9, ops.ndofs).astype(np.float64))
+    yc = jnp.asarray(
+        rng.integers(-8, 9, (mesh.num_cells,) + (degree + 1,) * dim).astype(
+            np.float64
+        )
+    )
+    g1 = np.asarray(ops.blocked.gather(x))
+    s1 = np.asarray(ops.blocked.scatter(yc))
+    monkeypatch.setenv("FUS_BLOCKED", "v2")
+    g2 = np.asarray(ops.blocked.gather(x))
+    s2 = np.asarray(ops.blocked.scatter(yc))
+    assert np.array_equal(g1, g2)
+    assert np.array_equal(s1, s2)
+
+
 def test_solve_on_distorted_mesh_matches_segsum_path(monkeypatch):
     """Full linear solve on a distorted 2D mesh: blocked path == forced
     segment-sum path to roundoff."""
