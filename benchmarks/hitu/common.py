@@ -34,6 +34,13 @@ sys.path.insert(
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
+
+def _platform() -> str:
+    """Provenance tag for committed artifacts (chip vs CPU-reduced runs)."""
+    import jax
+
+    return jax.default_backend()
+
 # transducer geometry: (half-aperture a, radius of curvature, domain length)
 # H101: 64 mm aperture / 63.2 mm ROC; H131: 33 mm aperture / 35 mm ROC
 # (Groth et al. 2021; domain lengths from the reference mains:
@@ -226,7 +233,8 @@ def validate_bowl_mesh(tx: str = "H101", f0: float = 0.35e6, nx: int = 48,
             meta=json.dumps({"tx": tx, "f0": f0, "nx": nx, "degree": degree,
                              "gain_err": gain_err, "pos_err_mm": pos_err * 1e3,
                              "profile_err": prof_err, "ndofs": int(ndofs),
-                             "mesh": "bowl-fitted"}),
+                             "mesh": "bowl-fitted",
+                             "platform": _platform()}),
         )
         print(f"  wrote {out}")
     return gain_err, pos_err, prof_err
@@ -287,7 +295,8 @@ def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
             times=times[keep], waveforms=ys[keep][:, sens],
             meta=json.dumps({"variant": name, "f0": f0, "nx": nx,
                              "degree": degree, "dt": dt,
-                             "ndofs": int(ndofs), "tf": tf}),
+                             "ndofs": int(ndofs), "tf": tf,
+                             "platform": _platform()}),
         )
         print(f"  wrote {out}")
     return x, amp

@@ -152,7 +152,9 @@ def transmission_check(sc, bm, x, amp, x_ref, amp_ref, tol=0.35):
 def validate(sc, bm, nx, nx_fine, dtype=None, out=None):
     """Full validation stamp: convergence + stationarity + (flat-layer)
     transmission; writes/updates the metadata JSON next to the artifact."""
-    stamp = {"sc": sc, "bm": bm}
+    import jax
+
+    stamp = {"sc": sc, "bm": bm, "platform": jax.default_backend()}
     stamp["convergence"] = convergence(sc, bm, nx, nx_fine, dtype=dtype)
     stamp["tf_stationarity"] = tf_stationarity(sc, bm, nx, dtype=dtype)
     x, amp, *_ = _run_profile(sc, bm, nx, dtype=dtype)

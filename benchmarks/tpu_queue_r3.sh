@@ -46,8 +46,8 @@ echo "--- [F1] HITU bowl-mesh O'Neil validation (H101 + H131)" >> $R
 timeout 6000 python -u -c "
 import sys; sys.path.insert(0,'benchmarks/hitu')
 import common as c
-c.validate_bowl_mesh('H101', nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h101.npz')
-c.validate_bowl_mesh('H131', nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h131.npz')
+c.validate_bowl_mesh('H101', f0=0.35e6, nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h101.npz')
+c.validate_bowl_mesh('H131', f0=0.45e6, nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h131.npz')
 " >> $R 2>&1
 echo "--- [F2] HITU production artifacts (H131 W/V + bowl-mesh H101)" >> $R
 timeout 8000 python -u -c "
