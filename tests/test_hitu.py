@@ -113,3 +113,29 @@ def test_v_variant_is_lossy_not_nonlinear():
     assert float(np.max(np.abs(np.asarray(m.consts["d2"])))) == 0.0
     # attenuation present -> delta-weighted source derivative vector nonzero
     assert float(np.max(np.abs(np.asarray(m.consts["src_cos_d"])))) > 0.0
+
+
+def test_bowlmesh_cpu_convergence_artifacts():
+    """Committed CPU h-convergence series of the bowl-FITTED mesh vs O'Neil
+    (benchmarks/hitu/bowl_convergence_cpu.py): focal-gain and focal-region
+    L2 errors must decrease monotonically under refinement, reaching the
+    <3% gain target at nx>=28 — evidence the curved-facet geometry (not
+    the discretisation) is already converged."""
+    import json
+
+    res = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "hitu", "results")
+    metas = []
+    for nx in (20, 28, 36):
+        f = os.path.join(res, f"oneil_bowlmesh_cpu_nx{nx}.npz")
+        if not os.path.exists(f):
+            continue
+        d = np.load(f)
+        metas.append(json.loads(str(d["meta"])))
+    if len(metas) < 2:
+        pytest.skip("convergence artifacts not committed yet")
+    gains = [m["gain_err"] for m in metas]
+    l2s = [m["profile_err"] for m in metas]
+    assert all(a > b for a, b in zip(gains, gains[1:])), gains
+    assert all(a > b for a, b in zip(l2s, l2s[1:])), l2s
+    assert min(gains) < 0.03
