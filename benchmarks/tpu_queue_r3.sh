@@ -83,4 +83,8 @@ timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 
+echo "--- [J] numbering-locality A/B (shuffled vs Morton+first-touch)" >> $R
+timeout 4000 python -u benchmarks/unstructured_speed.py --shuffle >> $R 2>&1
+timeout 4000 python -u benchmarks/unstructured_speed.py --shuffle --reorder >> $R 2>&1
+
 echo "=== $(date) r3 queue done ===" >> $R

@@ -81,12 +81,12 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def main(nx=28, degree=4, with_segsum=False):
+def main(nx=28, degree=4, with_segsum=False, shuffle=False, reorder=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from fenicsxfus_tpu import create_box
+    from fenicsxfus_tpu import create_box, reorder_locality
     from fenicsxfus_tpu.core.mesh import Mesh
     from fenicsxfus_tpu.ops.operators import SEMOperators
 
@@ -98,7 +98,20 @@ def main(nx=28, degree=4, with_segsum=False):
     v[:, 0] += w * np.sin(np.pi * v[:, 1]) * np.sin(np.pi * v[:, 2])
     v[:, 1] += w * np.sin(np.pi * v[:, 2]) * np.sin(np.pi * v[:, 0])
     v[:, 2] += w * np.sin(np.pi * v[:, 0]) * np.sin(np.pi * v[:, 1])
-    mesh = Mesh(dim=3, vertices=v, cells=base.cells)
+    cells = base.cells
+    if shuffle:
+        # worst-case numbering a mesh read could produce: random cell order
+        # AND random vertex ids (--shuffle vs --shuffle --reorder A/Bs the
+        # locality preprocessing, core/mesh.py::reorder_locality)
+        rng = np.random.default_rng(7)
+        vperm = rng.permutation(base.num_vertices)
+        v2 = np.empty_like(v)
+        v2[vperm] = v
+        v, cells = v2, vperm[cells][rng.permutation(base.num_cells)]
+    mesh = Mesh(dim=3, vertices=v, cells=cells)
+    if reorder:
+        mesh = reorder_locality(mesh)
+    print(f"numbering: shuffle={shuffle} reorder={reorder}")
 
     ops = SEMOperators(mesh, degree, dtype=jnp.float32)
     assert ops.lattice is None and not ops.uniform
@@ -210,4 +223,8 @@ if __name__ == "__main__":
     ap.add_argument("--degree", type=int, default=4)
     ap.add_argument("--with-segsum", action="store_true",
                     help="also time the (very slow) scalar-gather oracle")
+    ap.add_argument("--shuffle", action="store_true",
+                    help="randomly permute cell order + vertex ids first")
+    ap.add_argument("--reorder", action="store_true",
+                    help="apply reorder_locality (Morton + first-touch)")
     main(**vars(ap.parse_args()))

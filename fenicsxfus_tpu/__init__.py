@@ -18,6 +18,7 @@ from .core.mesh import (  # noqa: F401
     create_box,
     create_interval,
     create_rectangle,
+    reorder_locality,
     tag_boundaries,
 )
 from .analysis.analytical import (  # noqa: F401
@@ -58,6 +59,7 @@ __all__ = [
     "create_box",
     "create_bowl_box",
     "bowl_cap_area",
+    "reorder_locality",
     "tag_boundaries",
     "SEMOperators",
     "LinearExplicit",

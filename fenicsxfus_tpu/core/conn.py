@@ -73,6 +73,21 @@ class Connectivity:
     edges_local: list = field(default_factory=list)
 
 
+def _first_touch(ids: np.ndarray) -> np.ndarray:
+    """Relabel dense entity ids by first appearance in cell-major order.
+
+    ``np.unique`` numbers entities lexicographically by their vertex keys,
+    i.e. in *vertex*-numbering order; after relabeling, consecutive cells
+    reference nearby rows of the entity tables, so the row gathers in
+    ``ops/blocked.py`` hit nearby (8, 128) physical tiles. Pure label
+    permutation — assembly math is unchanged."""
+    flat = ids.reshape(-1)
+    _, first = np.unique(flat, return_index=True)  # labels are dense 0..n-1
+    rank = np.empty(first.size, flat.dtype)
+    rank[np.argsort(first, kind="stable")] = np.arange(first.size, dtype=flat.dtype)
+    return rank[flat].reshape(ids.shape)
+
+
 def _corner_vids(cells, d, fixed_bits, free_axes):
     """Global vertex ids of an entity's corners for every cell:
     [Nc] + [2]*len(free_axes), free-axis bits indexing in the given order."""
@@ -114,7 +129,7 @@ def extract_connectivity(mesh) -> Connectivity:
         )
         if counts.max() > 2:
             raise ValueError("non-conforming mesh: edge shared by >2 cells")
-        conn.face_ids = ids.reshape(nc, nlf)
+        conn.face_ids = _first_touch(ids.reshape(nc, nlf))
         conn.face_orient = flips
         conn.num_faces = int(counts.size)
         return conn
@@ -141,7 +156,7 @@ def extract_connectivity(mesh) -> Connectivity:
     )
     if counts.max() > 2:
         raise ValueError("non-conforming mesh: face shared by >2 cells")
-    conn.face_ids = ids.reshape(nc, nlf)
+    conn.face_ids = _first_touch(ids.reshape(nc, nlf))
     conn.face_orient = orient
     conn.num_faces = int(counts.size)
 
@@ -158,7 +173,7 @@ def extract_connectivity(mesh) -> Connectivity:
     _, eids, _ = np.unique(
         ekeys.reshape(-1, 2), axis=0, return_inverse=True, return_counts=True
     )
-    conn.edge_ids = eids.reshape(nc, nle)
+    conn.edge_ids = _first_touch(eids.reshape(nc, nle))
     conn.edge_flip = eflip
     conn.num_edges = int(conn.edge_ids.max()) + 1
     return conn

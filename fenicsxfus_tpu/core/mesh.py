@@ -140,6 +140,69 @@ def as_unstructured(mesh: Mesh) -> Mesh:
     )
 
 
+def _morton_codes(pts: np.ndarray, bits: int = 21) -> np.ndarray:
+    """Z-order (Morton) code of each point, quantised to ``bits`` per axis
+    (21*3 = 63 bits fits uint64). Interleaved axis-major, axis 0 most
+    significant within each bit level."""
+    d = pts.shape[1]
+    lo = pts.min(axis=0)
+    span = pts.max(axis=0) - lo
+    span[span == 0] = 1.0
+    scale = float((1 << bits) - 1)
+    q = np.minimum(
+        ((pts - lo) / span * scale).astype(np.uint64), np.uint64(2**bits - 1)
+    )
+    code = np.zeros(len(pts), np.uint64)
+    for b in range(bits):
+        for a in range(d):
+            code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * d + (d - 1 - a)
+            )
+    return code
+
+
+def reorder_locality(mesh: Mesh) -> Mesh:
+    """Locality-optimised copy of ``mesh`` for the unstructured operator
+    path: cells reordered along a Morton (Z-order) curve of their midpoints,
+    vertices renumbered by first touch in the new cell order.
+
+    Spatially adjacent cells then share nearby vertex ids, and — together
+    with the first-touch entity relabeling in ``core/conn.py`` — reference
+    nearby rows of the face/edge/vertex tables, so the row gathers and
+    transpose-gathers of ``ops/blocked.py`` hit nearby (8, 128) physical
+    tiles instead of striding the whole table (the reference gets the same
+    effect from the mesh partitioner's cache-aware ordering; here it is an
+    explicit preprocessing pass). Facet and cell tags are remapped; geometry
+    is unchanged, so solutions match up to fp summation order."""
+    perm = np.argsort(_morton_codes(mesh.cell_midpoints()), kind="stable")
+    cells = mesh.cells[perm]
+    # first-touch vertex renumbering (unused vertices keep trailing ids)
+    flat = cells.reshape(-1)
+    used, first = np.unique(flat, return_index=True)
+    nv = mesh.num_vertices
+    new_of_old = np.full(nv, -1, np.int64)
+    new_of_old[used[np.argsort(first, kind="stable")]] = np.arange(len(used))
+    unused = np.flatnonzero(new_of_old < 0)
+    new_of_old[unused] = np.arange(len(used), nv)
+    old_of_new = np.empty(nv, np.int64)
+    old_of_new[new_of_old] = np.arange(nv)
+    inv_perm = np.empty(mesh.num_cells, np.int64)
+    inv_perm[perm] = np.arange(mesh.num_cells)
+    tags = {
+        t: np.stack([inv_perm[f[:, 0]], f[:, 1]], axis=1)
+        for t, f in mesh.facet_tags.items()
+    }
+    return Mesh(
+        dim=mesh.dim,
+        vertices=mesh.vertices[old_of_new],
+        cells=new_of_old[cells],
+        facet_tags=tags,
+        cell_tags=None if mesh.cell_tags is None else mesh.cell_tags[perm],
+        grid_shape=None,
+        uniform_hint=mesh.uniform_hint,
+    )
+
+
 def boundary_facets(mesh: Mesh) -> np.ndarray:
     """All exterior facets as an [Nf, 2] array of (cell, local_face).
 
