@@ -78,10 +78,11 @@ validate(1, 4, 80, 112)
 echo "--- [H] unstructured end-to-end solve benchmark" >> $R
 timeout 6000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 
-echo "--- [I] blocked v1 vs v2 (transpose-gather scatter) A/B" >> $R
+echo "--- [I] blocked v1 vs v2 vs v3 (transpose-gather / super-row) A/B" >> $R
 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
-FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
+FUS_BLOCKED=v3 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+FUS_BLOCKED=v3 timeout 4000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 
 echo "--- [J] numbering-locality A/B (shuffled vs Morton+first-touch)" >> $R
 timeout 4000 python -u benchmarks/unstructured_speed.py --shuffle >> $R 2>&1

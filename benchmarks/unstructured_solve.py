@@ -100,7 +100,13 @@ def main(nx=24, degree=4, steps=60, out=None):
         solve_rate(distorted_box(nx, degree), degree, steps,
                    label="unstructured(blocked)")
     )
-    gap = res[0]["gdof_steps_per_s"] / max(res[1]["gdof_steps_per_s"], 1e-12)
+    from fenicsxfus_tpu import reorder_locality
+
+    rmesh = reorder_locality(distorted_box(nx, degree))  # tags are remapped
+    res.append(
+        solve_rate(rmesh, degree, steps, label="unstructured(blocked+reorder)")
+    )
+    gap = res[0]["gdof_steps_per_s"] / max(res[-1]["gdof_steps_per_s"], 1e-12)
     print(f"  per-DOF gap lattice/unstructured: {gap:.1f}x")
     if out:
         with open(out, "w") as f:

@@ -37,12 +37,23 @@ import numpy as np
 _PREC = jax.lax.Precision.HIGHEST  # 0/1 matmuls must not truncate to bf16
 
 
-def _use_v2() -> bool:
-    """FUS_BLOCKED=v2 replaces the per-slot scatter-adds with
-    transpose-gathers from precomputed incidence tables (and fuses the
-    per-slot gathers into one row gather per entity class). Same math,
-    different schedule; default stays v1 until the A/B lands on silicon."""
-    return os.environ.get("FUS_BLOCKED", "v1") == "v2"
+def _mode() -> str:
+    """FUS_BLOCKED schedule select (read at trace time):
+
+    v1  per-slot row gathers; scatter via ``.at[].add`` per slot.
+    v2  ONE fused slot-major row gather per entity class; scatter via
+        transpose-gathers from precomputed incidence tables (no scatter-add).
+    v3  v2, but every dynamic row motion is a *wide* gather: entity tables
+        are viewed as 128-lane super-rows (R = 128/w narrow rows each,
+        zero-copy reshape) and the wanted narrow row is extracted with a
+        position mask over R static slices. Row-granular gather throughput
+        on this chip is width-bound (~3 GB/s effective at 16 lanes vs
+        70-2600 GB/s wide, ``benchmarks/unstructured_timings_v5e.txt``), so
+        trading 128/w-times the gather traffic for full-width rows wins
+        whenever w < 128. Same math, bit-identical results.
+
+    Default stays v1 until the on-chip A/B lands."""
+    return os.environ.get("FUS_BLOCKED", "v1")
 
 
 def _incidence(ids: np.ndarray, n_entities: int) -> np.ndarray:
@@ -216,27 +227,42 @@ class BlockedAssembly:
             self._block_widths = [g.shape[0] for g in gblocks]
             # v2 transpose-gather tables (cheap numpy; built eagerly so the
             # FUS_BLOCKED flag can select at apply time)
-            if self.face_data:
-                self.incF_j = jnp.asarray(
-                    _incidence(conn.face_ids, conn.num_faces).astype(np.int32)
+            # v3 super-row indices sit beside the v2 flat/incidence tables:
+            # narrow row r of a w-wide table lives in 128-lane wide row
+            # r//R at position r%R (R = 128//w narrow rows per super-row).
+            # Gather side indexes the entity tables; scatter side indexes
+            # the stacked-pieces array (via the incidence tables).
+            self._v3 = {}  # class -> (R, idw_j, pos_j) gather side
+            self._v3s = {}  # class -> (R, incW_j, posW_j) scatter side
+
+            def _v2v3_tables(key, ids, n_entities, w):
+                flat = ids.T.reshape(-1).astype(np.int64)
+                inc = _incidence(ids, n_entities)
+                R = max(1, 128 // w)
+                self._v3[key] = (
+                    R,
+                    jnp.asarray((flat // R).astype(np.int32)),
+                    jnp.asarray((flat % R).astype(np.int32)[:, None]),
                 )
-                self.fids_flat_j = jnp.asarray(
-                    conn.face_ids.T.reshape(-1).astype(np.int32)
+                self._v3s[key] = (
+                    R,
+                    jnp.asarray((inc // R).astype(np.int32)),
+                    jnp.asarray((inc % R).astype(np.int32)),
+                )
+                return jnp.asarray(flat.astype(np.int32)), jnp.asarray(
+                    inc.astype(np.int32)
+                )
+
+            if self.face_data:
+                self.fids_flat_j, self.incF_j = _v2v3_tables(
+                    "F", conn.face_ids, conn.num_faces, _padw(m ** (d - 1))
                 )
             if self.edge_data:
-                self.incE_j = jnp.asarray(
-                    _incidence(conn.edge_ids, conn.num_edges).astype(np.int32)
+                self.eids_flat_j, self.incE_j = _v2v3_tables(
+                    "E", conn.edge_ids, conn.num_edges, _padw(m)
                 )
-                self.eids_flat_j = jnp.asarray(
-                    conn.edge_ids.T.reshape(-1).astype(np.int32)
-                )
-            self.incV_j = jnp.asarray(
-                _incidence(
-                    np.asarray(mesh.cells), mesh.num_vertices
-                ).astype(np.int32)
-            )
-            self.cells_flat_j = jnp.asarray(
-                np.asarray(mesh.cells).T.reshape(-1).astype(np.int32)
+            self.cells_flat_j, self.incV_j = _v2v3_tables(
+                "V", np.asarray(mesh.cells), mesh.num_vertices, VPAD
             )
 
     # ------------------------------------------------------------- tables
@@ -259,6 +285,33 @@ class BlockedAssembly:
     @staticmethod
     def _mm(a, b):
         return jnp.dot(a, b, precision=_PREC, preferred_element_type=a.dtype)
+
+    @staticmethod
+    def _widen(t, R):
+        """[n, w] → [ceil(n/R), R·w] super-row view (zero row padding)."""
+        if R == 1:
+            return t
+        n, w = t.shape
+        pad = (-n) % R
+        if pad:
+            t = jnp.pad(t, ((0, pad), (0, 0)))
+        return t.reshape(-1, R * w)
+
+    def _wide_gather(self, t, idw, pos, R):
+        """Gather narrow rows of ``t`` [n, w] by 128-lane super-rows:
+        fetch wide row ``idw``, extract the narrow row at ``pos`` as a
+        position-masked sum of R static slices (exact — one mask is 1, the
+        others select 0). Wide-row gather throughput is what the chip
+        sustains; the extraction is fused VPU selects."""
+        w = t.shape[1]
+        wide = self._widen(t, R)[idw]
+        if R == 1:
+            return wide
+        out = None
+        for p in range(R):
+            piece = jnp.where(pos == p, wide[:, p * w : (p + 1) * w], 0)
+            out = piece if out is None else out + piece
+        return out
 
     def _oriented(self, rows, kind, k, transpose=False):
         """Apply the (rare) multi-orientation column permutation to gathered
@@ -285,21 +338,27 @@ class BlockedAssembly:
         pieces = []
         if m > 0:
             pieces.append(x[off["I"] : off["F"]].reshape(nc, m**d))
-        if _use_v2():
-            # ONE row gather per entity class (slot-major), sliced per slot
+        mode = _mode()
+        if mode in ("v2", "v3"):
+            # ONE row gather per entity class (slot-major), sliced per slot;
+            # v3 routes the gather through 128-lane super-rows
+            def _rows(t, flat, key, ns):
+                if mode == "v3":
+                    R, idw, pos = self._v3[key]
+                    return self._wide_gather(t, idw, pos, R).reshape(
+                        ns, nc, -1
+                    )
+                return t[flat].reshape(ns, nc, -1)
+
             if self.face_data:
-                rows = xF[self.fids_flat_j].reshape(
-                    len(self.face_data), nc, -1
-                )
+                rows = _rows(xF, self.fids_flat_j, "F", len(self.face_data))
                 for k in range(len(self.face_data)):
                     pieces.append(self._oriented(rows[k], "f", k))
             if self.edge_data:
-                rows = xE[self.eids_flat_j].reshape(
-                    len(self.edge_data), nc, -1
-                )
+                rows = _rows(xE, self.eids_flat_j, "E", len(self.edge_data))
                 for k in range(len(self.edge_data)):
                     pieces.append(self._oriented(rows[k], "e", k))
-            rows = xV[self.cells_flat_j].reshape(2**d, nc, -1)
+            rows = _rows(xV, self.cells_flat_j, "V", 2**d)
             for v in range(2**d):
                 pieces.append(rows[v])
         else:
@@ -335,14 +394,26 @@ class BlockedAssembly:
             i += 1
         else:
             parts.append(jnp.zeros((0,), dt))
-        v2 = _use_v2()
+        mode = _mode()
+        v2 = mode in ("v2", "v3")
 
-        def _assemble_v2(pieces, inc_j):
-            """Transpose-gather: stack per-slot pieces (+ a zeros pad row),
-            then K row gathers + adds per entity — no scatter-add."""
+        def _assemble_v2(pieces, inc_j, key):
+            """Transpose-gather: stack per-slot pieces (+ a zeros pad row,
+            the incidence padding target), then K row gathers + adds per
+            entity — no scatter-add. v3 routes each gather through
+            128-lane super-rows."""
             rows = jnp.concatenate(
                 pieces + [jnp.zeros((1, pieces[0].shape[1]), dt)], axis=0
             )
+            if mode == "v3":
+                R, incW, posW = self._v3s[key]
+                out = None
+                for j in range(incW.shape[1]):
+                    ext = self._wide_gather(
+                        rows, incW[:, j], posW[:, j : j + 1], R
+                    )
+                    out = ext if out is None else out + ext
+                return out
             out = rows[inc_j[:, 0]]
             for j in range(1, inc_j.shape[1]):
                 out = out + rows[inc_j[:, j]]
@@ -356,7 +427,7 @@ class BlockedAssembly:
                 ps.append(self._oriented(chunks[i], "f", k, transpose=True))
                 i += 1
             if v2:
-                yF = _assemble_v2(ps, self.incF_j)
+                yF = _assemble_v2(ps, self.incF_j, 'F')
             else:
                 yF = jnp.zeros((nf, _padw(mf)), dt)
                 for k, piece in enumerate(ps):
@@ -369,7 +440,7 @@ class BlockedAssembly:
                 ps.append(self._oriented(chunks[i], "e", k, transpose=True))
                 i += 1
             if v2:
-                yE = _assemble_v2(ps, self.incE_j)
+                yE = _assemble_v2(ps, self.incE_j, 'E')
             else:
                 yE = jnp.zeros((ne, _padw(m)), dt)
                 for k, piece in enumerate(ps):
@@ -379,7 +450,7 @@ class BlockedAssembly:
         ps = [chunks[i + v] for v in range(2**d)]
         i += 2**d
         if v2:
-            yV = _assemble_v2(ps, self.incV_j)
+            yV = _assemble_v2(ps, self.incV_j, 'V')
         else:
             yV = jnp.zeros((nv, VPAD), dt)
             for v, piece in enumerate(ps):

@@ -86,11 +86,14 @@ def test_stiffness_blocked_vs_oracle(dim):
     assert np.max(np.abs(y_fast - y_ref)) < 1e-13 * scale
 
 
+@pytest.mark.parametrize("mode", ["v2", "v3"])
 @pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("degree", [1, 2, 4])
-def test_v2_transpose_gather_matches_v1(dim, degree, monkeypatch):
+def test_v2_v3_schedules_match_v1(dim, degree, mode, monkeypatch):
     """FUS_BLOCKED=v2 (fused gathers + incidence-table transpose-gather
-    scatter) must match the v1 schedule bit-for-bit on integer data."""
+    scatter) and v3 (the same routed through 128-lane super-row gathers
+    with position-mask extraction) must match the v1 schedule bit-for-bit
+    on integer data."""
     mesh = MESHES[dim]()
     ops = SEMOperators(mesh, degree, dtype=jnp.float64)
     rng = np.random.default_rng(4)
@@ -102,7 +105,7 @@ def test_v2_transpose_gather_matches_v1(dim, degree, monkeypatch):
     )
     g1 = np.asarray(ops.blocked.gather(x))
     s1 = np.asarray(ops.blocked.scatter(yc))
-    monkeypatch.setenv("FUS_BLOCKED", "v2")
+    monkeypatch.setenv("FUS_BLOCKED", mode)
     g2 = np.asarray(ops.blocked.gather(x))
     s2 = np.asarray(ops.blocked.scatter(yc))
     assert np.array_equal(g1, g2)
