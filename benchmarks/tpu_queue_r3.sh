@@ -82,6 +82,8 @@ echo "--- [I] blocked v1 vs v2 vs v3 (transpose-gather / super-row) A/B" >> $R
 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 FUS_BLOCKED=v2 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 FUS_BLOCKED=v3 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+FUS_BLOCKED=v3 FUS_V3_LANES=256 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+FUS_BLOCKED=v3 FUS_V3_LANES=512 timeout 4000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 FUS_BLOCKED=v3 timeout 4000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 
 echo "--- [J] numbering-locality A/B (shuffled vs Morton+first-touch)" >> $R

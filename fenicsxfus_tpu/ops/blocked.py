@@ -228,17 +228,21 @@ class BlockedAssembly:
             # v2 transpose-gather tables (cheap numpy; built eagerly so the
             # FUS_BLOCKED flag can select at apply time)
             # v3 super-row indices sit beside the v2 flat/incidence tables:
-            # narrow row r of a w-wide table lives in 128-lane wide row
-            # r//R at position r%R (R = 128//w narrow rows per super-row).
+            # narrow row r of a w-wide table lives in L-lane wide row
+            # r//R at position r%R (R = L//w narrow rows per super-row;
+            # L = FUS_V3_LANES, default one 128-lane tile — read at BUILD
+            # time; wider super-rows trade more gather bytes for higher
+            # per-row throughput, sweep on chip via queue step I).
             # Gather side indexes the entity tables; scatter side indexes
             # the stacked-pieces array (via the incidence tables).
+            lanes = int(os.environ.get("FUS_V3_LANES", "128"))
             self._v3 = {}  # class -> (R, idw_j, pos_j) gather side
             self._v3s = {}  # class -> (R, incW_j, posW_j) scatter side
 
             def _v2v3_tables(key, ids, n_entities, w):
                 flat = ids.T.reshape(-1).astype(np.int64)
                 inc = _incidence(ids, n_entities)
-                R = max(1, 128 // w)
+                R = max(1, lanes // w)
                 self._v3[key] = (
                     R,
                     jnp.asarray((flat // R).astype(np.int32)),
