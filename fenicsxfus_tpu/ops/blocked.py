@@ -80,6 +80,35 @@ def _padw(w: int) -> int:
     return max(-(-w // 8) * 8, VPAD)
 
 
+def _widen(t, R):
+    """[n, w] → [ceil(n/R), R·w] super-row view (zero row padding)."""
+    if R == 1:
+        return t
+    n, w = t.shape
+    pad = (-n) % R
+    if pad:
+        t = jnp.pad(t, ((0, pad), (0, 0)))
+    return t.reshape(-1, R * w)
+
+
+def wide_gather(t, idw, pos, R):
+    """Gather narrow rows of ``t`` [n, w] by R·w-lane super-rows: fetch
+    wide row ``idw``, extract the narrow row at ``pos`` as a
+    position-masked sum of R static slices (exact — one mask is 1, the
+    others select 0). Wide-row gather throughput is what the chip
+    sustains; the extraction is fused VPU selects. Shared by the
+    single-device v3 schedule and the sharded unstructured path."""
+    w = t.shape[1]
+    wide = _widen(t, R)[idw]
+    if R == 1:
+        return wide
+    out = None
+    for p in range(R):
+        piece = jnp.where(pos == p, wide[:, p * w : (p + 1) * w], 0)
+        out = piece if out is None else out + piece
+    return out
+
+
 def _place_matrix(width: int, cols, ncols: int, perm=None) -> np.ndarray:
     """[width, ncols] 0/1 matrix placing row entry ``perm[q]`` (default q)
     at column ``cols[q]``."""
@@ -290,33 +319,6 @@ class BlockedAssembly:
     def _mm(a, b):
         return jnp.dot(a, b, precision=_PREC, preferred_element_type=a.dtype)
 
-    @staticmethod
-    def _widen(t, R):
-        """[n, w] → [ceil(n/R), R·w] super-row view (zero row padding)."""
-        if R == 1:
-            return t
-        n, w = t.shape
-        pad = (-n) % R
-        if pad:
-            t = jnp.pad(t, ((0, pad), (0, 0)))
-        return t.reshape(-1, R * w)
-
-    def _wide_gather(self, t, idw, pos, R):
-        """Gather narrow rows of ``t`` [n, w] by 128-lane super-rows:
-        fetch wide row ``idw``, extract the narrow row at ``pos`` as a
-        position-masked sum of R static slices (exact — one mask is 1, the
-        others select 0). Wide-row gather throughput is what the chip
-        sustains; the extraction is fused VPU selects."""
-        w = t.shape[1]
-        wide = self._widen(t, R)[idw]
-        if R == 1:
-            return wide
-        out = None
-        for p in range(R):
-            piece = jnp.where(pos == p, wide[:, p * w : (p + 1) * w], 0)
-            out = piece if out is None else out + piece
-        return out
-
     def _oriented(self, rows, kind, k, transpose=False):
         """Apply the (rare) multi-orientation column permutation to gathered
         rows (or its transpose on the scatter side); identity when the
@@ -349,7 +351,7 @@ class BlockedAssembly:
             def _rows(t, flat, key, ns):
                 if mode == "v3":
                     R, idw, pos = self._v3[key]
-                    return self._wide_gather(t, idw, pos, R).reshape(
+                    return wide_gather(t, idw, pos, R).reshape(
                         ns, nc, -1
                     )
                 return t[flat].reshape(ns, nc, -1)
@@ -413,7 +415,7 @@ class BlockedAssembly:
                 R, incW, posW = self._v3s[key]
                 out = None
                 for j in range(incW.shape[1]):
-                    ext = self._wide_gather(
+                    ext = wide_gather(
                         rows, incW[:, j], posW[:, j : j + 1], R
                     )
                     out = ext if out is None else out + ext

@@ -52,7 +52,14 @@ from ..core.geometry import volume_factors
 from ..core.gll import diff_matrix
 from ..core.space import build_space
 from ..models.common import explicit_tables, step_sizes
-from ..ops.blocked import VPAD, _padw, _place_matrix
+from ..ops.blocked import (
+    VPAD,
+    _incidence,
+    _mode,
+    _padw,
+    _place_matrix,
+    wide_gather,
+)
 from ..ops.operators import stiffness_cells, stiffness_cells_dense
 
 AXIS = "x"
@@ -182,6 +189,39 @@ class UnstructuredDecomposition:
         self.nsv, svl, svs = shared_lists(v_uniq, mesh.num_vertices, self.nv_max)
         tables["svl"], tables["svs"] = svl, svs
         self._v_uniq = v_uniq
+
+        # per-device incidence tables for the v2/v3 transpose-gather
+        # scatter (ops/blocked.py::_incidence over LOCAL entity ids,
+        # K padded uniform across devices so the SPMD program is
+        # shape-identical). Built eagerly — small int tables.
+        def dev_incidence(loc_ids, n_rows):
+            incs = [
+                _incidence(loc_ids[q], n_rows) for q in range(ndev)
+            ]
+            K = max(i.shape[1] for i in incs)
+            ns_nc = loc_ids.shape[2] * loc_ids.shape[1]  # pad target row
+            return np.stack([
+                np.pad(i, ((0, 0), (0, K - i.shape[1])),
+                       constant_values=ns_nc)
+                for i in incs
+            ])
+
+        if nlf:
+            tables["incF"] = dev_incidence(tables["fids"], self.nf_max + 1)
+        if nle:
+            tables["incE"] = dev_incidence(tables["eids"], self.ne_max + 1)
+        tables["incV"] = dev_incidence(tables["vids"], self.nv_max + 1)
+        # v3 super-row widths (FUS_V3_LANES read at build time, like
+        # ops/blocked.py; the idw/pos splits are derived in-trace from the
+        # traced id tables — cheap fused int ops)
+        import os as _os
+
+        lanes = int(_os.environ.get("FUS_V3_LANES", "128"))
+        self._R = {
+            "F": max(1, lanes // _padw(m ** (d - 1))) if nlf else 1,
+            "E": max(1, lanes // _padw(m)) if nle else 1,
+            "V": max(1, lanes // VPAD),
+        }
 
         # ---- local blocked vector layout (uniform across devices) ---------
         mf = m ** (d - 1) if d >= 2 else 0
@@ -362,19 +402,36 @@ class UnstructuredDecomposition:
         xV = jnp.pad(x[loff["V"] :][:, None], ((0, 0), (0, VPAD - 1)))
         return xF, xE, xV
 
+    def _rows_v3(self, tbl, ids, key):
+        """ONE fused slot-major super-row gather for all local slots
+        (``ops/blocked.py`` v3 schedule on traced per-device id tables:
+        the idw/pos split is derived in-trace — cheap fused int ops)."""
+        R = self._R[key]
+        flat = ids.T.reshape(-1)
+        rows = wide_gather(tbl, flat // R, (flat % R)[:, None], R)
+        return rows.reshape(ids.shape[1], ids.shape[0], -1)
+
     def gather_local(self, t, x):
         """Local blocked vector [local_ndofs] → cell array [nc_loc, (N,)*d]."""
         d, N, m = self.d, self.N, self.m
         xF, xE, xV = self._entity_views(x)
+        v3 = _mode() == "v3"
         pieces = []
         if m > 0:
             pieces.append(x[: self.loff["F"]].reshape(self.nc_loc, m**d))
-        for k in range(self.nlf):
-            pieces.append(self._orient(t, "f", k, xF[t["fids"][:, k]]))
-        for k in range(self.nle):
-            pieces.append(self._orient(t, "e", k, xE[t["eids"][:, k]]))
+        if self.nlf:
+            rF = self._rows_v3(xF, t["fids"], "F") if v3 else None
+            for k in range(self.nlf):
+                rows = rF[k] if v3 else xF[t["fids"][:, k]]
+                pieces.append(self._orient(t, "f", k, rows))
+        if self.nle:
+            rE = self._rows_v3(xE, t["eids"], "E") if v3 else None
+            for k in range(self.nle):
+                rows = rE[k] if v3 else xE[t["eids"][:, k]]
+                pieces.append(self._orient(t, "e", k, rows))
+        rV = self._rows_v3(xV, t["vids"], "V") if v3 else None
         for v in range(2**d):
-            pieces.append(xV[t["vids"][:, v]])
+            pieces.append(rV[v] if v3 else xV[t["vids"][:, v]])
         big = jnp.concatenate(pieces, axis=1)
         xc = _mm(big, self.G_place.astype(x.dtype))
         return xc.reshape((self.nc_loc,) + (N,) * d)
@@ -389,6 +446,29 @@ class UnstructuredDecomposition:
         buf = jax.lax.psum(buf, AXIS)
         return rows.at[loc].set(buf[slot])
 
+    def _assemble(self, ps, ids, inc, key, v3):
+        """Per-slot pieces → per-entity rows: v3 transpose-gathers through
+        super-rows from the stacked pieces (+ a zeros pad row, the
+        incidence padding target); otherwise per-slot ``.at[].add``."""
+        dt = ps[0].dtype
+        if v3:
+            rows = jnp.concatenate(
+                ps + [jnp.zeros((1, ps[0].shape[1]), dt)], axis=0
+            )
+            R = self._R[key]
+            out = None
+            for j in range(inc.shape[1]):
+                ext = wide_gather(
+                    rows, inc[:, j] // R, (inc[:, j] % R)[:, None], R
+                )
+                out = ext if out is None else out + ext
+            return out
+        n_rows = {"F": self.nf_max, "E": self.ne_max, "V": self.nv_max}[key]
+        y = jnp.zeros((n_rows + 1, ps[0].shape[1]), dt)
+        for k, piece in enumerate(ps):
+            y = y.at[ids[:, k]].add(piece)
+        return y
+
     def scatter_local(self, t, yc):
         """Cell array → additively assembled local blocked vector, with
         shared-row completion (the distributed assembly)."""
@@ -398,31 +478,31 @@ class UnstructuredDecomposition:
         big = _mm(yc2, self.G_place.astype(dt).T)
         splits = np.cumsum(self._block_widths)[:-1]
         chunks = jnp.split(big, splits, axis=1)
+        v3 = _mode() == "v3"
         i = 0
         parts = []
         if m > 0:
             parts.append(chunks[i].reshape(-1))
             i += 1
         if self.nlf:
-            yF = jnp.zeros((self.nf_max + 1, self.wf), dt)
+            ps = []
             for k in range(self.nlf):
-                piece = self._orient(t, "f", k, chunks[i], transpose=True)
-                yF = yF.at[t["fids"][:, k]].add(piece)
+                ps.append(self._orient(t, "f", k, chunks[i], transpose=True))
                 i += 1
+            yF = self._assemble(ps, t["fids"], t.get("incF"), "F", v3)
             yF = self._complete(yF, t["sfl"], t["sfs"], self.nsf)
             parts.append(yF[:, :mf].reshape(-1))
         if self.nle:
-            yE = jnp.zeros((self.ne_max + 1, self.we), dt)
+            ps = []
             for k in range(self.nle):
-                piece = self._orient(t, "e", k, chunks[i], transpose=True)
-                yE = yE.at[t["eids"][:, k]].add(piece)
+                ps.append(self._orient(t, "e", k, chunks[i], transpose=True))
                 i += 1
+            yE = self._assemble(ps, t["eids"], t.get("incE"), "E", v3)
             yE = self._complete(yE, t["sel"], t["ses"], self.nse)
             parts.append(yE[:, :m].reshape(-1))
-        yV = jnp.zeros((self.nv_max + 1, VPAD), dt)
-        for v in range(2**d):
-            yV = yV.at[t["vids"][:, v]].add(chunks[i])
-            i += 1
+        ps = [chunks[i + v] for v in range(2**d)]
+        i += 2**d
+        yV = self._assemble(ps, t["vids"], t.get("incV"), "V", v3)
         yV = self._complete(yV, t["svl"], t["svs"], self.nsv)
         parts.append(yV[:, 0])
         return jnp.concatenate(parts)

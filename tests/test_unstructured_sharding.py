@@ -171,3 +171,27 @@ def test_gather_scatter_roundtrip_matches_blocked():
     y_ref = np.asarray(ops.scatter_segsum(yc_ref))
     y = dec.from_stacked(y_st)
     assert np.allclose(y, y_ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["v2", "v3"])
+def test_sharded_v3_matches_default(mode, monkeypatch):
+    """The per-device v3 super-row schedule (in-trace idw/pos split +
+    incidence transpose-gather, parallel/unstructured.py) must reproduce
+    the default per-slot schedule exactly. v2 has no sharded counterpart
+    for the gather side but must not break (falls back to per-slot)."""
+
+    def make():
+        return LinearSpectralExplicit(
+            make_mesh_2d(nx=6, ny=4), None, 3, 1.0, 1.0, 2.0, 1.0, 1.0, 4,
+            0.002, dtype=jnp.float64,
+        )
+
+    m1 = make().init()
+    sh1 = ShardedUnstructuredExplicitSolver(m1, 4)
+    u1, v1, _ = sh1.rk(0.0, 0.02)
+    monkeypatch.setenv("FUS_BLOCKED", mode)
+    m2 = make().init()
+    sh2 = ShardedUnstructuredExplicitSolver(m2, 4)
+    u2, v2, _ = sh2.rk(0.0, 0.02)
+    assert np.array_equal(np.asarray(u1), np.asarray(u2))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
