@@ -126,38 +126,33 @@ def create_bowl_box(
 
     # rim spacing: in diagonal stair regions two grid-adjacent boundary
     # vertices can land on nearly the same rim point, collapsing their
-    # shared edge (h_min, and with it the CFL dt, would drop ~4x). Rotate
-    # the pair member farther from its grid position ALONG the circle,
-    # away from its partner, until the pair is 0.6 h apart — both stay on
-    # the rim, so the inscribed polygon (and O(h^2) area) is preserved.
+    # shared edge (h_min, and with it the CFL dt, would drop ~4x).
+    # Redistribute the snapped vertices ALONG the circle with a global
+    # order-preserving minimum-gap pass: sorted angular gaps are floored
+    # at dtheta_min and renormalised to 2π, so no two rim vertices
+    # crowd, no vertex crosses a neighbour (ordering is preserved by
+    # construction — the pairwise-rotation scheme this replaces could
+    # sweep a vertex past a third one at fine resolution, twisting the
+    # wall-adjacent quads into near-non-convex slivers), and all stay on
+    # the rim (inscribed polygon, O(h^2) cap area).
     hmin_lat = min(hy, hz)
-    dtheta = 0.6 * hmin_lat / a
-    for _ in range(4):
-        moved = False
-        for off_y in (True, False):
-            a_sl = (slice(0, -1), slice(None)) if off_y else (slice(None), slice(0, -1))
-            b_sl = (slice(1, None), slice(None)) if off_y else (slice(None), slice(1, None))
-            both = mark[a_sl] & mark[b_sl]
-            dd = np.hypot(y2d[a_sl] - y2d[b_sl], z2d[a_sl] - z2d[b_sl])
-            close = both & (dd < 0.6 * hmin_lat - 1e-12)
-            if not close.any():
-                continue
-            moved = True
-            th_a = np.arctan2(z2d[a_sl], y2d[a_sl])
-            th_b = np.arctan2(z2d[b_sl], y2d[b_sl])
-            gap = np.arctan2(np.sin(th_b - th_a), np.cos(th_b - th_a))
-            sgn = np.where(gap >= 0.0, 1.0, -1.0)
-            # move the member displaced farther from its own grid point
-            a_far = np.abs(r2d[a_sl] - a) > np.abs(r2d[b_sl] - a)
-            th_a_new = np.where(close & a_far, th_b - sgn * dtheta, th_a)
-            th_b_new = np.where(close & ~a_far, th_a + sgn * dtheta, th_b)
-            for sl, th, upd in ((a_sl, th_a_new, close & a_far),
-                                (b_sl, th_b_new, close & ~a_far)):
-                yv, zv = a * np.cos(th), a * np.sin(th)
-                y2d[sl] = np.where(upd, yv, y2d[sl])
-                z2d[sl] = np.where(upd, zv, z2d[sl])
-        if not moved:
-            break
+    mj, mk = np.nonzero(mark)
+    M = len(mj)
+    if M >= 3:
+        th = np.arctan2(z2d[mj, mk], y2d[mj, mk])
+        order = np.argsort(th, kind="stable")
+        th_s = th[order]
+        dth_min = min(0.6 * hmin_lat / a, 0.95 * 2.0 * np.pi / M)
+        gaps = np.diff(np.concatenate([th_s, [th_s[0] + 2.0 * np.pi]]))
+        s = np.maximum(gaps, dth_min)
+        s *= 2.0 * np.pi / s.sum()
+        th_new = th_s[0] + np.concatenate([[0.0], np.cumsum(s[:-1])])
+        # anchor: zero mean angular displacement
+        th_new -= np.mean(th_new - th_s)
+        th2 = np.empty_like(th)
+        th2[order] = th_new
+        y2d[mj, mk] = a * np.cos(th2)
+        z2d[mj, mk] = a * np.sin(th2)
 
     # local relaxation: a snap can squeeze a neighbouring edge to ~0.1 h,
     # which would shrink h_min (and the explicit CFL dt) ~4x. A few
@@ -176,6 +171,62 @@ def create_bowl_box(
         b = band[1:-1, 1:-1]
         y2d[1:-1, 1:-1] = np.where(b, yn, y2d[1:-1, 1:-1])
         z2d[1:-1, 1:-1] = np.where(b, zn, z2d[1:-1, 1:-1])
+
+    # quality-driven 2D repair: a BILINEAR quad's Jacobian det is bilinear
+    # in the reference coords, so its minimum is attained at a CORNER —
+    # the per-quad corner cross products are an EXACT 2D quality measure.
+    # Thin/sheared rim quads (observed at H101, whose aperture passes
+    # within ~1 cell of the lateral wall) survive the blanket smoothing
+    # above at ~1.5% of the uniform area; the fade shear then drives an
+    # interior 3D quadrature point of the extruded cell to ~1e-4 and the
+    # measured stable dt collapses ~5x. Relax ONLY the unsnapped,
+    # non-boundary vertices of offending quads until every corner det
+    # clears the floor (rim ring and walls stay pinned: tagged polygon,
+    # cap area and the domain shape are unaffected).
+    def _quad_corner_det(y, z):
+        """[ny, nz] per-quad minimum corner det (cross products of the
+        two edges meeting at each corner, oriented consistently)."""
+        p = np.stack([y, z], axis=-1)
+        v00, v10 = p[:-1, :-1], p[1:, :-1]
+        v01, v11 = p[:-1, 1:], p[1:, 1:]
+
+        def cross(a_, b_):
+            return a_[..., 0] * b_[..., 1] - a_[..., 1] * b_[..., 0]
+
+        d = np.stack([
+            cross(v10 - v00, v01 - v00),
+            cross(v11 - v10, v00 - v10),
+            cross(v01 - v11, v10 - v11),
+            cross(v00 - v01, v11 - v01),
+        ])
+        return d.min(axis=0)
+
+    floor2d = 0.05 * hy * hz
+    pinned = mark.copy()
+    pinned[0, :] = pinned[-1, :] = True
+    pinned[:, 0] = pinned[:, -1] = True
+    for _ in range(40):
+        q = _quad_corner_det(y2d, z2d)
+        bad = q < floor2d
+        if not bad.any():
+            break
+        vbad = np.zeros_like(mark)
+        vbad[:-1, :-1] |= bad
+        vbad[1:, :-1] |= bad
+        vbad[:-1, 1:] |= bad
+        vbad[1:, 1:] |= bad
+        vbad &= ~pinned
+        yn = 0.25 * (y2d[:-2, 1:-1] + y2d[2:, 1:-1]
+                     + y2d[1:-1, :-2] + y2d[1:-1, 2:])
+        zn = 0.25 * (z2d[:-2, 1:-1] + z2d[2:, 1:-1]
+                     + z2d[1:-1, :-2] + z2d[1:-1, 2:])
+        b = vbad[1:-1, 1:-1]
+        y2d[1:-1, 1:-1] = np.where(
+            b, 0.5 * y2d[1:-1, 1:-1] + 0.5 * yn, y2d[1:-1, 1:-1]
+        )
+        z2d[1:-1, 1:-1] = np.where(
+            b, 0.5 * z2d[1:-1, 1:-1] + 0.5 * zn, z2d[1:-1, 1:-1]
+        )
 
     # Lateral snap FADES with depth (same blend as the x-deformation):
     # vertices at x = x0 get the full rim fit (the tagged cap layer), and
@@ -248,51 +299,83 @@ def create_bowl_box(
     return mesh, focus
 
 
-def _ensure_band_validity(mesh, n, blend_layers: int, floor: float = 0.01):
-    """Raise (after attempting band relaxation) if any blend-band cell's
-    corner detJ falls below ``floor`` x the uniform cell volume. Healthy
-    rim-snapped meshes sit at 0.016-0.10 (the pinned rim + smoothing
-    squeeze corners — all physics gates pass there); true interpolation
-    degeneracy measures ~1e-10 and NaNs the solve."""
-    from .geometry import volume_factors
+def _ensure_band_validity(mesh, n, blend_layers: int, floor: float = 2e-3):
+    """Raise (after attempting TARGETED relaxation) if any blend-band
+    cell's detJ at the N=5 GLL lattice falls below ``floor`` x the
+    uniform cell volume.
 
-    nb = min(blend_layers + 1, n[0]) * n[1] * n[2]
+    N=5, not corners: a TRILINEAR cell's det is not trilinear — fade-plane
+    shear over an already-thin rim quad collapses an interior quadrature
+    point two orders below the corner values (measured 8e-5 of uniform
+    with healthy corners at H101 nx=64; the N=3 lattice misses the point
+    too), costing a ~6x stable-dt drop through the spectral clamp in
+    ``estimate_stable_dt``. N=5 covers the production p<=4 quadrature.
+
+    Relaxation is targeted: only the vertices of offending cells move
+    (damped 6-neighbour average), never the cap layer (x-layer 0 — the
+    tagged polygon and cap area stay exact) and never domain-boundary
+    vertices. Deeper rim-prism vertices may move slightly where quality
+    demands; the O'Neil gates (tests/test_bowl.py) pin the physics."""
+    from .geometry import volume_factors
+    from .gll import gll_points_weights
+
+    nbl = min(blend_layers + 1, n[0])
+    nb = nbl * n[1] * n[2]
     uni_detJ = np.prod(
         (mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0))
         / np.asarray(n)
     )
+    w1 = np.asarray(gll_points_weights(5)[1]) / 2.0  # [0,1] convention
+    wq = (
+        w1[:, None, None] * w1[None, :, None] * w1[None, None, :]
+    ).reshape(-1)
 
     def band_quality():
+        """(q_min, per-cell q [nb]) over the band at the N=5 lattice."""
         sub = Mesh(
             dim=3, vertices=mesh.vertices, cells=mesh.cells[:nb]
         )
         try:
-            wdetJ, _ = volume_factors(sub, 2)
+            wdetJ, _ = volume_factors(sub, 5)
         except Exception:
-            return -1.0
-        # N=2 quadrature weights are 1/8 per corner on [0,1]^3
-        return float(wdetJ.min()) * 8.0 / uni_detJ
+            return -1.0, None
+        det = np.asarray(wdetJ).reshape(nb, -1) / wq[None, :]
+        per_cell = det.min(axis=1) / uni_detJ
+        return float(per_cell.min()), per_cell
 
-    q = band_quality()
+    q, per_cell = band_quality()
     if q >= floor:
         return
     shape = (n[0] + 1, n[1] + 1, n[2] + 1, 3)
-    for _ in range(8):
+    for _ in range(30):
+        # vertices of offending cells (band cells are x-slowest ordered:
+        # cell (ix, iy, iz) = ((ix*n1)+iy)*n2 + iz)
+        bad = np.nonzero(per_cell < floor)[0]
+        ix, r = np.divmod(bad, n[1] * n[2])
+        iy, iz = np.divmod(r, n[2])
+        vmask = np.zeros(shape[:3], bool)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    vmask[ix + dx, iy + dy, iz + dz] = True
+        vmask[0] = False  # cap layer pinned (tagged polygon, cap area)
+        vmask[-1] = False
+        vmask[:, 0, :] = vmask[:, -1, :] = False
+        vmask[:, :, 0] = vmask[:, :, -1] = False
+        if not vmask.any():
+            break
         v = mesh.vertices.reshape(shape).copy()
-        inner = v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, 1:-1]
         nbavg = (
-            v[0 : min(blend_layers, n[0] - 1), 1:-1, 1:-1]
-            + v[2 : min(blend_layers, n[0] - 1) + 2, 1:-1, 1:-1]
-            + v[1 : min(blend_layers, n[0] - 1) + 1, :-2, 1:-1]
-            + v[1 : min(blend_layers, n[0] - 1) + 1, 2:, 1:-1]
-            + v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, :-2]
-            + v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, 2:]
+            v[:-2, 1:-1, 1:-1] + v[2:, 1:-1, 1:-1]
+            + v[1:-1, :-2, 1:-1] + v[1:-1, 2:, 1:-1]
+            + v[1:-1, 1:-1, :-2] + v[1:-1, 1:-1, 2:]
         ) / 6.0
-        v[1 : min(blend_layers, n[0] - 1) + 1, 1:-1, 1:-1] = (
-            0.5 * inner + 0.5 * nbavg
+        b = vmask[1:-1, 1:-1, 1:-1, None]
+        v[1:-1, 1:-1, 1:-1] = np.where(
+            b, 0.5 * v[1:-1, 1:-1, 1:-1] + 0.5 * nbavg, v[1:-1, 1:-1, 1:-1]
         )
         mesh.vertices = v.reshape(-1, 3)
-        q = band_quality()
+        q, per_cell = band_quality()
         if q >= floor:
             return
     raise ValueError(
