@@ -79,7 +79,8 @@ class UnstructuredDecomposition:
     (index maps, orientation masks, shared-row exchange lists, geometry).
     """
 
-    def __init__(self, mesh, degree: int, ndev: int, dtype, space=None):
+    def __init__(self, mesh, degree: int, ndev: int, dtype, space=None,
+                 partition: str = "auto"):
         self.mesh = mesh
         self.degree = degree
         self.ndev = int(ndev)
@@ -102,12 +103,49 @@ class UnstructuredDecomposition:
         nc = mesh.num_cells
         ndev = self.ndev
 
-        # ---- cell partition: contiguous chunks by centroid ----------------
+        # ---- cell partition: contiguous chunks along a 1D cell order -------
+        # Two candidate orders (the reference delegates this choice to its
+        # mesh partitioner, test_operators3d/main.cpp:31): sort by centroid
+        # along the longest bounding-box axis (slab-like — minimal interface
+        # for elongated wave domains) or along a Morton space-filling curve
+        # (compact parts — smaller interface for cube-ish domains). "auto"
+        # picks whichever replicates fewer vertices across devices: the
+        # shared-entity count IS the psum-completion payload, so this is a
+        # direct collective-traffic minimisation, decided once at setup.
         cents = mesh.vertices[np.asarray(mesh.cells)].mean(axis=1)
         ext = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
-        order = np.argsort(cents[:, int(np.argmax(ext))], kind="stable")
         nc_loc = -(-nc // ndev)
         self.nc_loc = nc_loc
+        cells_arr = np.asarray(mesh.cells)
+
+        def _shared_vertices(order_):
+            touch = np.zeros(mesh.num_vertices, np.int32)
+            for q in range(ndev):
+                u = np.unique(cells_arr[order_[q * nc_loc : (q + 1) * nc_loc]])
+                touch[u] += 1
+            return int(np.count_nonzero(touch >= 2))
+
+        if partition not in ("auto", "axis", "morton"):
+            raise ValueError(f"unknown partition mode {partition!r}")
+        cand = {}
+        if partition in ("auto", "axis"):
+            cand["axis"] = np.argsort(
+                cents[:, int(np.argmax(ext))], kind="stable"
+            )
+        if partition in ("auto", "morton"):
+            from ..core.mesh import _morton_codes
+
+            cand["morton"] = np.argsort(_morton_codes(cents), kind="stable")
+        if partition == "auto":
+            if ndev == 1:
+                partition = "axis"
+            else:
+                ns = {k: _shared_vertices(v) for k, v in cand.items()}
+                partition = (
+                    "axis" if ns["axis"] <= ns["morton"] else "morton"
+                )
+        self.partition_mode = partition
+        order = cand[partition]
         cell_ids = np.empty((ndev, nc_loc), np.int64)
         valid = np.zeros((ndev, nc_loc), bool)
         for q in range(ndev):
@@ -189,6 +227,12 @@ class UnstructuredDecomposition:
         self.nsv, svl, svs = shared_lists(v_uniq, mesh.num_vertices, self.nv_max)
         tables["svl"], tables["svs"] = svl, svs
         self._v_uniq = v_uniq
+        # rows crossing the psum completion per apply (collective payload)
+        self.shared_payload = (
+            self.nsf * (m ** (d - 1) if (d >= 2 and m > 0) else 0)
+            + self.nse * m
+            + self.nsv
+        )
 
         # per-device incidence tables for the v2/v3 transpose-gather
         # scatter (ops/blocked.py::_incidence over LOCAL entity ids,
@@ -631,10 +675,11 @@ class ShardedUnstructuredExplicitSolver:
     """Explicit-RK solver over a 1D device mesh for unstructured meshes —
     the arbitrary-mesh counterpart of ``slab.ShardedExplicitSolver``."""
 
-    def __init__(self, model, ndev: int):
+    def __init__(self, model, ndev: int, partition: str = "auto"):
         self.model = model
         self.dec = UnstructuredDecomposition(
-            model.mesh, model.degree, ndev, model.dtype, space=model.ops.space
+            model.mesh, model.degree, ndev, model.dtype,
+            space=model.ops.space, partition=partition,
         )
         self.consts = self.dec.shard_consts(
             model.consts, **_model_kwargs(model)
@@ -814,10 +859,11 @@ class ShardedUnstructuredImplicitSolver:
     """SDIRK solver for unstructured meshes over a 1D device mesh
     (psum-weighted CG dots, as in ``slab.ShardedImplicitSolver``)."""
 
-    def __init__(self, model, ndev: int):
+    def __init__(self, model, ndev: int, partition: str = "auto"):
         self.model = model
         self.dec = UnstructuredDecomposition(
-            model.mesh, model.degree, ndev, model.dtype, space=model.ops.space
+            model.mesh, model.degree, ndev, model.dtype,
+            space=model.ops.space, partition=partition,
         )
         kw = _model_kwargs(model)
         kw["pad_one"] = tuple(kw["pad_one"]) or ("m",)

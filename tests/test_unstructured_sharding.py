@@ -173,6 +173,47 @@ def test_gather_scatter_roundtrip_matches_blocked():
     assert np.allclose(y, y_ref, atol=1e-12)
 
 
+def test_partition_mode_selection():
+    """Cube-ish domains: the Morton partition must replicate fewer rows
+    (smaller psum payload) than axis slabs and be auto-picked; elongated
+    domains keep the axis slabs. The partition only changes WHERE rows
+    live, never the assembled result (equivalence tests above gate that
+    for whatever auto picks; the explicit-mode run below pins the other)."""
+    from fenicsxfus_tpu import create_box
+
+    cube = unstructured(create_box((4, 4, 4), (0, 0, 0), (1, 1, 1)), seed=1)
+    dec_a = UnstructuredDecomposition(cube, 2, 8, jnp.float64, partition="axis")
+    dec_m = UnstructuredDecomposition(cube, 2, 8, jnp.float64, partition="morton")
+    assert dec_m.shared_payload < dec_a.shared_payload
+    assert UnstructuredDecomposition(
+        cube, 2, 8, jnp.float64
+    ).partition_mode == "morton"
+
+    lng = unstructured(create_box((16, 2, 2), (0, 0, 0), (4.0, 0.5, 0.5)))
+    assert UnstructuredDecomposition(
+        lng, 2, 8, jnp.float64
+    ).partition_mode == "axis"
+
+
+def test_partition_modes_equivalent():
+    """axis and morton partitions of the same model agree to fp roundoff."""
+    def make():
+        return LinearSpectralExplicit(
+            make_mesh_2d(nx=6, ny=6), None, 3, 1.0, 1.0, 2.0, 1.0, 1.0, 4,
+            0.002, dtype=jnp.float64,
+        )
+
+    outs = {}
+    for mode in ("axis", "morton"):
+        m = make().init()
+        sh = ShardedUnstructuredExplicitSolver(m, 4, partition=mode)
+        assert sh.dec.partition_mode == mode
+        outs[mode] = sh.rk(0.0, 0.02)
+    for a, b in zip(outs["axis"][:2], outs["morton"][:2]):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-300
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) / scale < 1e-11
+
+
 @pytest.mark.parametrize("mode", ["v2", "v3"])
 def test_sharded_v3_matches_default(mode, monkeypatch):
     """The per-device v3 super-row schedule (in-trace idw/pos split +
