@@ -558,7 +558,7 @@ class ShardedImplicitSolverND:
         self.weights = self.dec.dot_weights()
         self._run = None
 
-    def _build(self):
+    def _local_step_fn(self):
         from ..ops.cg import cg_solve
 
         dec, model = self.dec, self.model
@@ -605,6 +605,13 @@ class ShardedImplicitSolverND:
             stats = jnp.stack([it_max.astype(v0.dtype), res_max])
             return (u_acc, v_acc, t + dtn), stats
 
+        return local_step
+
+    def _build(self):
+        dec = self.dec
+        local_step = self._local_step_fn()
+        names = dec.axis_names
+
         def local_run(consts, w, u, v, t0, dts):
             consts = _local_consts(consts)
             u, v, w = u[0], v[0], w[0]
@@ -613,18 +620,76 @@ class ShardedImplicitSolverND:
             )
             return u[None], v[None], t, stats
 
-        spec_consts = jax.tree.map(
-            lambda x: P(names) if getattr(x, "ndim", 0) >= 1 else P(),
-            self.consts,
-        )
         sharded = jax.shard_map(
             local_run,
             mesh=dec.jmesh,
-            in_specs=(spec_consts, P(names), P(names), P(names), P(), P()),
+            in_specs=(self._consts_spec(), P(names), P(names), P(names),
+                      P(), P()),
             out_specs=(P(names), P(names), P(), P()),
             check_vma=False,
         )
         self._run = jax.jit(sharded)
+
+    def _build_rec(self, extract):
+        dec = self.dec
+        local_step = self._local_step_fn()
+        names = dec.axis_names
+
+        def local_run(consts, w, tab, u, v, t0, dts):
+            consts = _local_consts(consts)
+            u, v, w, tab = u[0], v[0], w[0], tab[0]
+
+            def body(carry, dtn):
+                out, stats = local_step(consts, w, carry, dtn)
+                # [CG it_max, res_max, sensors...] — stats psum-replicated
+                return out, jnp.concatenate([stats, extract(out[0], tab)])
+
+            (u, v, t), rows = jax.lax.scan(body, (u, v, t0), dts)
+            return u[None], v[None], t, rows[:, None]
+
+        return jax.jit(jax.shard_map(
+            local_run,
+            mesh=dec.jmesh,
+            in_specs=(self._consts_spec(), P(names), P(names), P(names),
+                      P(names), P(), P()),
+            out_specs=(P(names), P(names), P(), P(None, names)),
+            check_vma=False,
+        ))
+
+    def dirk_record(self, t0: float, tf: float, points):
+        """``dirk`` + device-side per-step sensor recording over the
+        multi-axis device mesh (implicit counterpart of ``rk_record``)."""
+        from ..models.common import run_segmented
+
+        extract, tab, dev, slot = self._sensor_plan(points)
+        key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
+        cache = getattr(self, "_rec_runs", None)
+        if cache is None:
+            cache = self._rec_runs = {}
+        run = cache.get(key)
+        if run is None:
+            rec = self._build_rec(extract)
+            run = lambda consts, u, v, t, seg: rec(  # noqa: E731
+                consts, self.weights, tab, u, v, t, seg
+            )
+            cache[key] = run
+        model = self.model
+        u, v = _initial_stacked(self)
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, rows = run_segmented(
+            run, self.consts, u, v, t0, dts, model.dtype, collect_ys=True
+        )
+        rows = np.asarray(rows)  # [steps, ndev, 2 + m]
+        model.cg_stats = {
+            "max_iterations": int(np.max(rows[:, 0, 0])),
+            "max_residual2": float(np.max(rows[:, 0, 1])),
+        }
+        u, v, t = _store_stacked(self, us, vs, t0 + float(np.sum(dts)))
+        times = t0 + np.cumsum(dts)
+        return u, v, t, times, rows[:, dev, 2 + slot]
+
+    _consts_spec = ShardedExplicitSolver2D._consts_spec
+    _sensor_plan = ShardedExplicitSolver2D._sensor_plan
 
     def dirk(self, t0: float, tf: float):
         from ..models.common import run_segmented

@@ -871,10 +871,10 @@ class ShardedUnstructuredImplicitSolver:
         self.weights = self.dec.dot_weights()
         self._run = None
 
-    def _build(self):
+    def _local_step_fn(self):
         from ..ops.cg import cg_solve
 
-        dec, model = self.dec, self.model
+        model = self.model
         cls = type(model)
         A_tab, b_tab, c_tab = model.A_tab, model.b_tab, model.c_tab
         n = len(b_tab)
@@ -911,6 +911,12 @@ class ShardedUnstructuredImplicitSolver:
             stats = jnp.stack([it_max.astype(v0.dtype), res_max])
             return (u_acc, v_acc, t + dtn), stats
 
+        return local_step
+
+    def _build(self):
+        dec = self.dec
+        local_step = self._local_step_fn()
+
         def local_run(consts, tables, w, u, v, t0, dts):
             consts = _local(consts)
             tables = _local(tables)
@@ -937,6 +943,73 @@ class ShardedUnstructuredImplicitSolver:
             check_vma=False,
         )
         self._run = jax.jit(sharded)
+
+    _sensor_plan = ShardedUnstructuredExplicitSolver._sensor_plan
+
+    def dirk_record(self, t0: float, tf: float, points):
+        """``dirk`` + device-side per-step sensor recording (implicit
+        counterpart of the explicit solver's ``rk_record``; CG stats ride
+        the same per-step row — identical series to the single-device
+        ``model.dirk_record``)."""
+        from ..models.common import run_segmented
+
+        extract, tab, dev, slot = self._sensor_plan(points)
+        dec, model = self.dec, self.model
+        local_step = self._local_step_fn()
+
+        key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
+        cache = getattr(self, "_rec_runs", None)
+        if cache is None:
+            cache = self._rec_runs = {}
+        run = cache.get(key)
+        if run is None:
+
+            def local_run(consts, tables, w, tabl, u, v, t0v, dts):
+                consts = _local(consts)
+                tables = _local(tables)
+                ops = LocalUnstructuredOps(dec, tables)
+                u, v, w, tabl = u[0], v[0], w[0], tabl[0]
+
+                def body(carry, dtn):
+                    out, stats = local_step(consts, ops, w, carry, dtn)
+                    # [CG it_max, res_max, sensors...] — stats replicated
+                    return out, jnp.concatenate([stats, extract(out[0], tabl)])
+
+                (u, v, t), rows = jax.lax.scan(body, (u, v, t0v), dts)
+                return u[None], v[None], t, rows[:, None]
+
+            rec = jax.jit(jax.shard_map(
+                local_run,
+                mesh=dec.jmesh,
+                in_specs=(
+                    _specs(self.consts), _specs(dec.tables),
+                    P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(),
+                ),
+                out_specs=(P(AXIS), P(AXIS), P(), P(None, AXIS)),
+                check_vma=False,
+            ))
+            run = lambda cst, uu, vv, tt, seg: rec(  # noqa: E731
+                cst, dec.tables, self.weights, tab, uu, vv, tt, seg
+            )
+            cache[key] = run
+
+        u = dec.to_stacked(model.u_n)
+        v = dec.to_stacked(model.v_n)
+        dts = np.asarray(step_sizes(t0, tf, model.dt))
+        us, vs, t, rows = run_segmented(
+            run, self.consts, u, v, t0, dts, model.dtype, collect_ys=True
+        )
+        rows = np.asarray(rows)  # [steps, ndev, 2 + m]
+        model.cg_stats = {
+            "max_iterations": int(np.max(rows[:, 0, 0])),
+            "max_residual2": float(np.max(rows[:, 0, 1])),
+        }
+        model.u_n = jnp.asarray(dec.from_stacked(us), model.dtype)
+        model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
+        model.t = t0 + float(np.sum(dts))
+        times = t0 + np.cumsum(dts)
+        return (model.u_n, model.v_n, model.t, times,
+                rows[:, dev, 2 + slot])
 
     def dirk(self, t0: float, tf: float):
         from ..models.common import run_segmented

@@ -97,6 +97,91 @@ def test_slab_record_off_axis_sensors():
     assert np.max(np.abs(np.asarray(ys2) - np.asarray(ys1))) / scale < 1e-11
 
 
+def _make_imp(nx=(8, 3, 3)):
+    from fenicsxfus_tpu import LinearSpectralImplicit
+
+    mesh = tag_boundaries(
+        create_box(nx, (0, 0, 0), (1.0, 0.4, 0.4)),
+        {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12},
+    )
+    return LinearSpectralImplicit(
+        mesh, None, 2, 1.5, 1.0, 10.0, 1.0, 1.5, 2,
+        0.4 / nx[0] / 1.5, dtype=jnp.float64, cg_rtol=1e-12,
+    )
+
+
+def _compare_dirk_record(solver_factory, tol=1e-10):
+    """Sharded ``dirk_record`` == single-device ``model.dirk_record``
+    (series AND surfaced CG stats)."""
+    pts = _axial_points(5)
+    m1 = _make_imp()
+    m1.init()
+    t_end = 6 * m1.dt
+    *_, times1, ys1 = m1.dirk_record(0.0, t_end, pts)
+    m2 = _make_imp()
+    m2.init()
+    sh = solver_factory(m2)
+    u2, v2, t2, times2, ys2 = sh.dirk_record(0.0, t_end, pts)
+    np.testing.assert_allclose(times1, times2, rtol=0, atol=1e-14)
+    scale = np.max(np.abs(np.asarray(ys1))) + 1e-300
+    assert np.max(np.abs(np.asarray(ys2) - np.asarray(ys1))) / scale < tol
+    assert m2.cg_stats["max_iterations"] > 0
+    assert m2.cg_stats["max_residual2"] < 1e-10
+
+
+def test_slab_dirk_record():
+    from fenicsxfus_tpu.parallel.slab import ShardedImplicitSolver
+
+    _compare_dirk_record(lambda m: ShardedImplicitSolver(m, ndev=4))
+
+
+def test_grid2d_dirk_record():
+    from fenicsxfus_tpu.parallel.grid import ShardedImplicitSolverND
+
+    _compare_dirk_record(lambda m: ShardedImplicitSolverND(m, (2, 2)))
+
+
+def test_unstructured_dirk_record():
+    from fenicsxfus_tpu.core.mesh import Mesh
+    from fenicsxfus_tpu.parallel.unstructured import (
+        ShardedUnstructuredImplicitSolver,
+    )
+
+    def factory(m):
+        # rebuild on an unstructured (scrambled) copy of the same mesh
+        return ShardedUnstructuredImplicitSolver(m, ndev=4)
+
+    pts = _axial_points(5)
+    rng = np.random.default_rng(2)
+    base = create_box((7, 3, 3), (0, 0, 0), (1.0, 0.4, 0.4))
+    verts = base.vertices.copy()
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    interior = np.all((verts > lo + 1e-12) & (verts < hi - 1e-12), axis=1)
+    verts[interior] += 0.02 * (rng.random((int(interior.sum()), 3)) - 0.5)
+    mesh = Mesh(dim=3, vertices=verts, cells=np.asarray(base.cells))
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12}
+    )
+    from fenicsxfus_tpu import LinearSpectralImplicit
+
+    def make():
+        m = LinearSpectralImplicit(
+            mesh, None, 2, 1.5, 1.0, 10.0, 1.0, 1.5, 2, 0.05,
+            dtype=jnp.float64, cg_rtol=1e-12,
+        )
+        m.init()
+        return m
+
+    m1 = make()
+    t_end = 6 * m1.dt
+    *_, times1, ys1 = m1.dirk_record(0.0, t_end, pts)
+    m2 = make()
+    *_, times2, ys2 = factory(m2).dirk_record(0.0, t_end, pts)
+    np.testing.assert_allclose(times1, times2, rtol=0, atol=1e-14)
+    scale = np.max(np.abs(np.asarray(ys1))) + 1e-300
+    assert np.max(np.abs(np.asarray(ys2) - np.asarray(ys1))) / scale < 1e-10
+
+
 def test_streamed_rejects_nonzero_initial_state():
     """The streamed-setup path starts from zero fields; a nonzero template
     state must raise, not be silently dropped."""
