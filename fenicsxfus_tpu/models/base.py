@@ -160,6 +160,111 @@ class SpectralModelBase:
                 idx[j] = int(np.argmin(d2))
             return idx
 
+    def _locate_sensors(self, points):
+        """(cells, xi) for sensor points on any mesh type: closed form on
+        uniform lattices, Newton inverse-map (``compute_eval_params``)
+        elsewhere — including the deformed band of hybrid bowl lattices,
+        where logical lattice positions are not physical positions."""
+        from ..utils import compute_eval_params
+
+        pts = np.asarray(points, np.float64)
+        n = pts.shape[1]
+        lat = getattr(self.ops, "lattice", None)
+        mesh = self.mesh
+        if lat is not None and mesh.grid_shape is not None:
+            hyb = getattr(self.ops, "hybrid", None)
+            lo = (
+                np.asarray(mesh.uniform_box[0])
+                if hyb is not None
+                else mesh.vertices.min(axis=0)
+            )
+            d = mesh.dim
+            cell_ax, xi_ax = [], []
+            for a in range(d):
+                s = (pts[a] - lo[a]) / lat.h[a]
+                c = np.clip(np.floor(s).astype(np.int64), 0, lat.grid[a] - 1)
+                cell_ax.append(c)
+                xi_ax.append(np.clip(s - c, 0.0, 1.0))
+            cells = np.ravel_multi_index(cell_ax, lat.grid)
+            xis = np.stack(xi_ax, axis=1)
+            if hyb is not None:
+                depth = lo[0] + hyb["bx"] * lat.h[0]
+                inside = pts[0] < depth
+                if inside.any():
+                    _, fc, fx = compute_eval_params(mesh, pts[:, inside])
+                    if len(fc) != int(inside.sum()):
+                        raise ValueError("sensor point outside the mesh")
+                    cells[inside] = fc
+                    xis[inside] = fx
+            return cells, xis
+        _, fc, fx = compute_eval_params(mesh, pts)
+        if len(fc) != n:
+            raise ValueError(
+                f"{n - len(fc)} sensor point(s) lie outside the mesh"
+            )
+        return fc, fx
+
+    def sensor_interp_tables(self, points):
+        """Interpolating sensor-extraction tables: (rows [n, N**d] flat DOF
+        indices, wts [n, N**d]). True ``Function.eval`` semantics for
+        off-node sensors (the reference interpolates,
+        ``cpp/mwe/parallel_eval_line/main.cpp:49-107``); the weight row of a
+        node-aligned sensor is exactly one-hot, which ``_record_plan``
+        detects to fall back to the cheaper proven nearest-DOF gather."""
+        from ..core.gll import lagrange_eval_gll
+
+        cells, xis = self._locate_sensors(points)
+        rows = np.asarray(
+            self.ops.space.dofmap_for_cells(cells), np.int64
+        ).reshape(len(cells), -1)
+        N = self.ops.N
+        w = lagrange_eval_gll(N, xis[:, 0])
+        for a in range(1, xis.shape[1]):
+            t = lagrange_eval_gll(N, xis[:, a])
+            w = (w[:, :, None] * t[:, None, :]).reshape(len(cells), -1)
+        return rows, w
+
+    def _record_plan(self, points):
+        """(cache key, per-step extractor) for in-scan recording. Sensors
+        that all sit on DOF nodes (every benchmark driver) keep the proven
+        nearest-DOF gather; anything off-node gets exact interpolation
+        instead of the silent snap-to-node phase error (~2pi*offset/lambda
+        per sensor) the round-2 recording had."""
+        rows, wts = self.sensor_interp_tables(points)
+        amax = np.abs(wts).max(axis=1)
+        if np.all(amax >= 1.0 - 1e-9):
+            idx = rows[np.arange(len(rows)), np.abs(wts).argmax(axis=1)]
+            return idx.tobytes(), self._sensor_extractor(idx)
+        key = rows.tobytes() + wts.tobytes()
+        return key, self._sensor_extractor_interp(rows, wts)
+
+    def _sensor_extractor_interp(self, rows: np.ndarray, wts: np.ndarray):
+        """Interpolating extraction with the same static bounding-box slice
+        as ``_sensor_extractor`` (a raw scalar gather from the full field
+        lowers near-serially on TPU)."""
+        import jax.numpy as _jnp
+
+        wj = _jnp.asarray(wts, self.dtype)
+        lat = getattr(self.ops, "lattice", None)
+        if lat is None:
+            rj = _jnp.asarray(rows.astype(np.int32))
+            return lambda u: (u.reshape(-1)[rj] * wj).sum(axis=-1)
+        gdims = lat.gdims
+        i3 = np.unravel_index(rows.reshape(-1), gdims)
+        lo = [int(i.min()) for i in i3]
+        hi = [int(i.max()) + 1 for i in i3]
+        box = tuple(h - lo_a for lo_a, h in zip(lo, hi))
+        flat_box = np.ravel_multi_index(
+            [i - lo_a for i, lo_a in zip(i3, lo)], box
+        )
+        flat_box = _jnp.asarray(flat_box.astype(np.int32).reshape(rows.shape))
+        sl = tuple(slice(lo_a, h) for lo_a, h in zip(lo, hi))
+
+        def extract(u):
+            return (u.reshape(gdims)[sl].reshape(-1)[flat_box] * wj).sum(-1)
+
+        return extract
+
     def _sensor_extractor(self, idx: np.ndarray):
         """TPU-cheap per-step sensor extraction: slice the static bounding
         box of the sensor lattice coordinates first (an axial sensor line is
@@ -325,19 +430,16 @@ class ExplicitModelBase(SpectralModelBase):
         (u, v, t, times [n_steps], ys [n_steps, n_sensors])."""
         from .common import make_recording_scan, step_sizes
 
-        idx = self.sensor_indices(points)
         # cache the compiled recording scan per sensor set: rebuilding the
         # jit closure per call recompiles the whole fused program (~40 s at
         # production sizes) — 30x the cost of actually running it
-        key = idx.tobytes()  # the sensor set defines the compiled program
+        key, extractor = self._record_plan(points)
         cache = getattr(self, "_rec_solves", None)
         if cache is None:
             cache = self._rec_solves = {}
         solve = cache.get(key)
         if solve is None:
-            solve = make_recording_scan(
-                self._make_step(), self.dtype, self._sensor_extractor(idx)
-            )
+            solve = make_recording_scan(self._make_step(), self.dtype, extractor)
             cache[key] = solve
         u, v, t, ys = solve(self.consts, self.u_n, self.v_n, t0, tf, self.dt)
         dts = step_sizes(t0, tf, self.dt)
@@ -471,14 +573,13 @@ class ImplicitModelBase(SpectralModelBase):
         (u, v, t, times [n_steps], ys [n_steps, n_sensors])."""
         from .common import run_segmented
 
-        idx = self.sensor_indices(points)
-        key = idx.tobytes()
+        key, extractor = self._record_plan(points)
         cache = getattr(self, "_rec_runs", None)
         if cache is None:
             cache = self._rec_runs = {}
         run = cache.get(key)
         if run is None:
-            self._rec_extract = self._sensor_extractor(idx)
+            self._rec_extract = extractor
             run = self._build_run()
             del self._rec_extract
             cache[key] = run

@@ -210,13 +210,19 @@ class GridDecomposition:
             loc = np.clip(xi - cell, 0.0, 1.0)
             node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
             coords.append(cell * p + node)
+        return self._nodes_to_dev_loc(np.stack(coords))
+
+    def _nodes_to_dev_loc(self, coords):
+        """Global lattice node coords [dim, m] → (linear device index [m],
+        local coords [dim, m]); replicated interface-plane rows go to the
+        upper holder along each sharded axis (replicas are identical)."""
         dev_coords, loc_coords = [], []
         for a in range(self.na):
             da = np.minimum(coords[a] // (self.Ls[a] - 1), self.dshape[a] - 1)
             dev_coords.append(da)
             loc_coords.append(coords[a] - da * (self.Ls[a] - 1))
         dev = np.ravel_multi_index(tuple(dev_coords), self.dshape)
-        return dev, np.stack(loc_coords + coords[self.na:])
+        return dev, np.stack(loc_coords + [coords[a] for a in range(self.na, len(coords))])
 
     def _pad_cells(self, arr_cells, pad_value=0.0):
         """Global cell array [Nc] → per-device blocks [ndev, cells_per_dev]."""
@@ -423,8 +429,12 @@ class ShardedExplicitSolver2D:
         extraction box spans the full local extent of every SHARDED axis
         (identical shape on all devices — SPMD) and the sensors' lateral
         extent on the unsharded axes."""
+        from .slab import collapse_onehot, lattice_interp_nodes
+
         dec = self.dec
-        dev, loc = dec.locate_sensors(points)
+        coords, wts = lattice_interp_nodes(dec, points)
+        nodes, wts = collapse_onehot(coords, wts)
+        dev, loc = dec._nodes_to_dev_loc(nodes)
         dim = loc.shape[0]
         na = dec.na
         gd_local = tuple(dec.Ls) + tuple(dec.gdims[na:])
@@ -450,7 +460,7 @@ class ShardedExplicitSolver2D:
             return u_local.reshape(gd_local)[sl].reshape(-1)[tab]
 
         tab_sharded = jax.device_put(jnp.asarray(loc_tab), dec.sharding)
-        return extract, tab_sharded, dev, slot
+        return extract, tab_sharded, dev, slot, wts
 
     def _build_rec(self, extract):
         dec = self.dec
@@ -484,7 +494,9 @@ class ShardedExplicitSolver2D:
         ``cpp/mwe/parallel_eval_line/main.cpp:49-107``)."""
         from ..models.common import run_segmented
 
-        extract, tab, dev, slot = self._sensor_plan(points)
+        from .slab import weighted_sensor_rows
+
+        extract, tab, dev, slot, wts = self._sensor_plan(points)
         key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
         cache = getattr(self, "_rec_runs", None)
         if cache is None:
@@ -502,7 +514,9 @@ class ShardedExplicitSolver2D:
         )
         u, v, t = _store_stacked(self, us, vs, t0 + float(np.sum(dts)))
         times = t0 + np.cumsum(dts)
-        return u, v, t, times, np.asarray(ys)[:, dev, slot]
+        return u, v, t, times, weighted_sensor_rows(
+            np.asarray(ys)[:, dev, slot], wts
+        )
 
     def global_result(self):
         """Materialize the global (u, v) on host (streamed-setup path)."""
@@ -661,7 +675,9 @@ class ShardedImplicitSolverND:
         multi-axis device mesh (implicit counterpart of ``rk_record``)."""
         from ..models.common import run_segmented
 
-        extract, tab, dev, slot = self._sensor_plan(points)
+        from .slab import weighted_sensor_rows
+
+        extract, tab, dev, slot, wts = self._sensor_plan(points)
         key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
         cache = getattr(self, "_rec_runs", None)
         if cache is None:
@@ -686,7 +702,9 @@ class ShardedImplicitSolverND:
         }
         u, v, t = _store_stacked(self, us, vs, t0 + float(np.sum(dts)))
         times = t0 + np.cumsum(dts)
-        return u, v, t, times, rows[:, dev, 2 + slot]
+        return u, v, t, times, weighted_sensor_rows(
+            rows[:, dev, 2 + slot], wts
+        )
 
     _consts_spec = ShardedExplicitSolver2D._consts_spec
     _sensor_plan = ShardedExplicitSolver2D._sensor_plan

@@ -47,6 +47,62 @@ from ..ops.operators import SEMOperators
 AXIS = "x"
 
 
+def lattice_interp_nodes(dec, points):
+    """Closed-form interpolating sensor tables on the uniform lattice of a
+    slab/grid decomposition: global GLL node coords [dim, n, K] of each
+    sensor's owning cell (K = (p+1)^dim) and Lagrange weights [n, K]. A
+    node-aligned sensor's weight row is exactly one-hot. Works on the
+    streamed path (no global mesh object needed) — the multi-device
+    analogue of ``SpectralModelBase.sensor_interp_tables``; the reference
+    interpolates on any rank count (``cpp/mwe/parallel_eval_line``)."""
+    from ..core.gll import lagrange_eval_gll
+
+    pts = np.asarray(points, np.float64)
+    p = dec.degree
+    d = len(dec.grid)
+    n = pts.shape[1]
+    axes_nodes, axes_w = [], []
+    for a in range(d):
+        h = (dec.hi[a] - dec.lo[a]) / dec.grid[a]
+        s = (pts[a] - dec.lo[a]) / h
+        cell = np.clip(np.floor(s).astype(np.int64), 0, dec.grid[a] - 1)
+        xi = np.clip(s - cell, 0.0, 1.0)
+        axes_nodes.append(cell[:, None] * p + np.arange(p + 1)[None, :])
+        axes_w.append(lagrange_eval_gll(p + 1, xi))
+    sub = np.indices((p + 1,) * d).reshape(d, -1)  # [d, K], axis 0 slowest
+    coords = np.stack([axes_nodes[a][:, sub[a]] for a in range(d)])
+    w = axes_w[0]
+    for a in range(1, d):
+        w = (w[:, :, None] * axes_w[a][:, None, :]).reshape(n, -1)
+    return coords, w
+
+
+def collapse_onehot(coords, wts, tol=1e-9):
+    """(virtual-sensor node coords, weights-or-None): sensors that all sit
+    on lattice nodes collapse to their single node (the proven snap gather
+    path, zero behavior change for the production drivers); anything
+    off-node expands every sensor into its cell's K nodes as independent
+    virtual sensors — a replicated interface node is identical on any
+    holder, so per-NODE ownership suffices and no cell-ownership logic is
+    needed. The weighted sum happens in host reassembly
+    (``weighted_sensor_rows``)."""
+    d, n, K = coords.shape
+    amax = np.abs(wts).max(axis=1)
+    if np.all(amax >= 1.0 - tol):
+        k = np.abs(wts).argmax(axis=1)
+        return coords[:, np.arange(n), k], None
+    return coords.reshape(d, n * K), wts
+
+
+def weighted_sensor_rows(vals, wts):
+    """Host reassembly: [steps, n*K] virtual-sensor rows → [steps, n]
+    interpolated sensor values (identity when ``wts`` is None)."""
+    if wts is None:
+        return vals
+    n, K = wts.shape
+    return (vals.reshape(vals.shape[0], n, K) * wts).sum(axis=-1)
+
+
 class HaloSEMOperators(SEMOperators):
     """SEMOperators on the local slab whose assembly ``complete`` hook adds
     the neighbour halo exchange (must run inside shard_map). Applies to both
@@ -197,9 +253,15 @@ class SlabDecomposition:
             loc = np.clip(xi - cell, 0.0, 1.0)
             node = np.argmin(np.abs(loc[:, None] - gll[None, :]), axis=1)
             coords.append(cell * p + node)
+        return self._nodes_to_dev_loc(np.stack(coords))
+
+    def _nodes_to_dev_loc(self, coords):
+        """Global lattice node coords [dim, m] → (owning device [m], local
+        coords [dim, m]); interface-plane rows go to the upper holder (the
+        replicas are identical)."""
         dev = np.minimum(coords[0] // (self.Lx - 1), self.ndev - 1)
         r0 = coords[0] - dev * (self.Lx - 1)
-        return dev, np.stack([r0] + coords[1:])
+        return dev, np.stack([r0] + [coords[a] for a in range(1, len(coords))])
 
     def dot_weights(self) -> jnp.ndarray:
         """Stacked per-DOF weights [ndev, local_ndofs] making
@@ -512,13 +574,19 @@ class ShardedExplicitSolver:
 
     def _sensor_plan(self, points):
         """Static recording plan: per-device padded local gather tables +
-        the (device, slot) host reassembly map. The in-scan extraction
-        slices a shared bounding box (full local rows x the lateral extent
-        of the sensor set) before the tiny gather — a raw scalar gather
-        from the full field lowers near-serially on TPU (measured 37x the
-        step cost, ``models/base.py::_sensor_extractor``)."""
+        the (device, slot, wts) host reassembly map. Node-aligned sensors
+        keep the proven snap gather; off-node sensors interpolate via
+        virtual-node expansion (``collapse_onehot``) instead of the silent
+        snap-to-node phase error the round-2 recording had. The in-scan
+        extraction slices a shared bounding box (full local rows x the
+        lateral extent of the sensor set) before the tiny gather — a raw
+        scalar gather from the full field lowers near-serially on TPU
+        (measured 37x the step cost,
+        ``models/base.py::_sensor_extractor``)."""
         dec = self.dec
-        dev, loc = dec.locate_sensors(points)
+        coords, wts = lattice_interp_nodes(dec, points)
+        nodes, wts = collapse_onehot(coords, wts)
+        dev, loc = dec._nodes_to_dev_loc(nodes)
         d = loc.shape[0]
         lo_box = [0] + [int(loc[a].min()) for a in range(1, d)]
         hi_box = [dec.Lx] + [int(loc[a].max()) + 1 for a in range(1, d)]
@@ -543,7 +611,7 @@ class ShardedExplicitSolver:
             return u_local.reshape(gd_local)[sl].reshape(-1)[tab]
 
         tab_sharded = jax.device_put(jnp.asarray(loc_tab), dec.sharding)
-        return extract, tab_sharded, dev, slot
+        return extract, tab_sharded, dev, slot, wts
 
     def _build_rec(self, extract):
         dec = self.dec
@@ -578,7 +646,7 @@ class ShardedExplicitSolver:
         series to the single-device ``model.rk_record``."""
         from ..models.common import run_segmented
 
-        extract, tab, dev, slot = self._sensor_plan(points)
+        extract, tab, dev, slot, wts = self._sensor_plan(points)
         key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
         cache = getattr(self, "_rec_runs", None)
         if cache is None:
@@ -597,7 +665,9 @@ class ShardedExplicitSolver:
         t = t0 + float(np.sum(dts))
         u, v, t = self._store_stacked(us, vs, t)
         times = t0 + np.cumsum(dts)
-        return u, v, t, times, np.asarray(ys)[:, dev, slot]
+        return u, v, t, times, weighted_sensor_rows(
+            np.asarray(ys)[:, dev, slot], wts
+        )
 
 
 class ShardedImplicitSolver:
@@ -729,7 +799,7 @@ class ShardedImplicitSolver:
         ``model.dirk_record``."""
         from ..models.common import run_segmented
 
-        extract, tab, dev, slot = self._sensor_plan(points)
+        extract, tab, dev, slot, wts = self._sensor_plan(points)
         key = (bytes(np.asarray(tab).tobytes()), dev.tobytes())
         cache = getattr(self, "_rec_runs", None)
         if cache is None:
@@ -754,7 +824,9 @@ class ShardedImplicitSolver:
         }
         u, v, t = self._store_stacked(us, vs, t0 + float(np.sum(dts)))
         times = t0 + np.cumsum(dts)
-        return u, v, t, times, rows[:, dev, 2 + slot]
+        return u, v, t, times, weighted_sensor_rows(
+            rows[:, dev, 2 + slot], wts
+        )
 
     _initial_stacked = ShardedExplicitSolver._initial_stacked
     _store_stacked = ShardedExplicitSolver._store_stacked

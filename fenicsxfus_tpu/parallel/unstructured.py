@@ -754,12 +754,23 @@ class ShardedUnstructuredExplicitSolver:
     # -- in-scan sensor recording (sharded) --------------------------------
 
     def _sensor_plan(self, points):
-        """(extract, sharded slot table, dev, slot) — per-device padded
+        """(extract, sharded slot table, dev, slot, wts) — per-device padded
         slot tables; extraction uses per-sensor dynamic slices (the blocked
         numbering has no lattice box to window, and m tiny 1-element
-        dynamic slices lower far better than one scattered gather on TPU)."""
+        dynamic slices lower far better than one scattered gather on TPU).
+        Node-aligned sensors keep the single-dof gather; off-node sensors
+        expand into their owning cell's N**d dof rows as independent
+        virtual sensors (each row has a replica on SOME device, identical
+        everywhere) and interpolate in host reassembly
+        (``slab.weighted_sensor_rows``)."""
         dec = self.dec
-        gdofs = self.model.sensor_indices(points)
+        rows, wts = self.model.sensor_interp_tables(points)
+        amax = np.abs(wts).max(axis=1)
+        if np.all(amax >= 1.0 - 1e-9):
+            gdofs = rows[np.arange(len(rows)), np.abs(wts).argmax(axis=1)]
+            wts = None
+        else:
+            gdofs = rows.reshape(-1)
         dev, slot = dec.locate_dofs(np.asarray(gdofs))
         n = dev.size
         m = max(int(np.max(np.bincount(dev, minlength=dec.ndev))), 1)
@@ -779,7 +790,7 @@ class ShardedUnstructuredExplicitSolver:
             ])
 
         tab_sharded = jax.device_put(jnp.asarray(tab), dec.sharding)
-        return extract, tab_sharded, dev, dslot
+        return extract, tab_sharded, dev, dslot, wts
 
     def rk_record(self, t0: float, tf: float, points):
         """``rk`` + device-side per-step sensor recording; identical series
@@ -787,7 +798,7 @@ class ShardedUnstructuredExplicitSolver:
         ``cpp/mwe/parallel_eval_line/main.cpp:49-107``)."""
         from ..models.common import run_segmented
 
-        extract, tab, dev, slot = self._sensor_plan(points)
+        extract, tab, dev, slot, wts = self._sensor_plan(points)
         a, b, c = explicit_tables(self.model.rk_order)
         dec, model = self.dec, self.model
         rhs = type(model).rhs_pure
@@ -851,8 +862,10 @@ class ShardedUnstructuredExplicitSolver:
         model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
         model.t = t0 + float(np.sum(dts))
         times = t0 + np.cumsum(dts)
+        from .slab import weighted_sensor_rows
+
         return (model.u_n, model.v_n, model.t, times,
-                np.asarray(ys)[:, dev, slot])
+                weighted_sensor_rows(np.asarray(ys)[:, dev, slot], wts))
 
 
 class ShardedUnstructuredImplicitSolver:
@@ -953,7 +966,7 @@ class ShardedUnstructuredImplicitSolver:
         ``model.dirk_record``)."""
         from ..models.common import run_segmented
 
-        extract, tab, dev, slot = self._sensor_plan(points)
+        extract, tab, dev, slot, wts = self._sensor_plan(points)
         dec, model = self.dec, self.model
         local_step = self._local_step_fn()
 
@@ -1008,8 +1021,10 @@ class ShardedUnstructuredImplicitSolver:
         model.v_n = jnp.asarray(dec.from_stacked(vs), model.dtype)
         model.t = t0 + float(np.sum(dts))
         times = t0 + np.cumsum(dts)
+        from .slab import weighted_sensor_rows
+
         return (model.u_n, model.v_n, model.t, times,
-                rows[:, dev, 2 + slot])
+                weighted_sensor_rows(rows[:, dev, 2 + slot], wts))
 
     def dirk(self, t0: float, tf: float):
         from ..models.common import run_segmented

@@ -204,8 +204,11 @@ def test_westervelt_vs_mendousse():
 
 def test_implicit_dirk_record():
     """dirk_record == dirk final state, and the recorded series ends at the
-    final field values at the sensor DOFs (implicit counterpart of
-    rk_record; reference evaluates sensors only post-run)."""
+    interpolated final field values at the sensor points (implicit
+    counterpart of rk_record; reference evaluates sensors by interpolation
+    post-run — ``Function.eval``)."""
+    from fenicsxfus_tpu import eval_function
+
     mesh, h = make_mesh(2)
     args = (4, C0, 4.0, F0, 4.0, C0, 2, 2e-3)
     m1 = LinearSpectralImplicit(mesh, None, *args, dtype=jnp.float64).init()
@@ -217,8 +220,8 @@ def test_implicit_dirk_record():
     assert ys.shape == (len(times), 5)
     scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
     assert np.max(np.abs(np.asarray(u) - np.asarray(u_ref))) / scale < 1e-12
-    idx = m2.sensor_indices(pts)
+    _, interp = eval_function(m2.ops, u, pts)
     np.testing.assert_allclose(
-        ys[-1], np.asarray(u)[idx], rtol=0, atol=1e-12 * scale
+        ys[-1], np.asarray(interp), rtol=0, atol=1e-12 * scale
     )
     assert m2.cg_stats["max_iterations"] > 0
