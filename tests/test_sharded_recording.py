@@ -3,7 +3,8 @@
 The reference evaluates sensor points on any rank count
 (``cpp/mwe/parallel_eval_line/main.cpp:49-107``); here the sharded slab and
 grid solvers record device-side inside the scan and must reproduce the
-single-device time series exactly (same lattice snap, same steps).
+single-device time series exactly (same sensor plan — nearest-DOF gather
+for node-aligned sensors, Lagrange interpolation otherwise — same steps).
 """
 
 import jax.numpy as jnp
