@@ -783,11 +783,18 @@ class ShardedUnstructuredExplicitSolver:
             dslot[j] = counts[dd]
             counts[dd] += 1
 
-        def extract(u_local, tab_local):
-            return jnp.stack([
-                jax.lax.dynamic_slice(u_local, (tab_local[j],), (1,))[0]
-                for j in range(m)
-            ])
+        if m <= 256:
+
+            def extract(u_local, tab_local):
+                return jnp.stack([
+                    jax.lax.dynamic_slice(u_local, (tab_local[j],), (1,))[0]
+                    for j in range(m)
+                ])
+        else:
+            # interp-expanded sensor sets (n * N**d virtual rows) would
+            # unroll thousands of slices — one gather bounds the program
+            def extract(u_local, tab_local):
+                return u_local[tab_local]
 
         tab_sharded = jax.device_put(jnp.asarray(tab), dec.sharding)
         return extract, tab_sharded, dev, dslot, wts

@@ -243,3 +243,41 @@ def test_unstructured_rk_record():
     np.testing.assert_allclose(times1, times2, rtol=0, atol=1e-14)
     scale = np.max(np.abs(np.asarray(ys1))) + 1e-300
     assert np.max(np.abs(np.asarray(ys2) - np.asarray(ys1))) / scale < 1e-11
+
+
+@pytest.mark.slow
+def test_unstructured_clustered_offnode_sensors():
+    """>256 virtual rows on one device: the plan's gather extraction (the
+    unrolled dynamic-slice form would blow up compile time) must still
+    match the single-device series."""
+    from fenicsxfus_tpu.core.mesh import as_unstructured
+    from fenicsxfus_tpu.parallel.unstructured import (
+        ShardedUnstructuredExplicitSolver,
+    )
+
+    base = create_box((9, 3, 3), (0, 0, 0), (1.0, 0.4, 0.4))
+    mesh = as_unstructured(base)
+    tag_boundaries(
+        mesh, {1: lambda x: x[0] < 1e-12, 2: lambda x: x[0] > 1 - 1e-12}
+    )
+
+    def make():
+        m = LinearSpectralExplicit(
+            mesh, None, 3, 1.5, 1.0, 10.0, 1.0, 1.5, 4, 0.4 / 9 / 1.5 / 9,
+            dtype=jnp.float64,
+        )
+        return m.init()
+
+    rng = np.random.default_rng(3)
+    pts = np.stack([
+        rng.uniform(0.11, 0.21, 12),  # clustered: 12 * 64 virtual rows on
+        rng.uniform(0.05, 0.35, 12),  # one device's slab
+        rng.uniform(0.05, 0.35, 12),
+    ])
+    m1 = make()
+    *_, ys1 = m1.rk_record(0.0, 8 * m1.dt, pts)
+    m2 = make()
+    sh = ShardedUnstructuredExplicitSolver(m2, ndev=4)
+    *_, ys2 = sh.rk_record(0.0, 8 * m2.dt, pts)
+    scale = np.max(np.abs(np.asarray(ys1))) + 1e-300
+    assert np.max(np.abs(np.asarray(ys2) - np.asarray(ys1))) / scale < 1e-11
