@@ -226,6 +226,18 @@ class LatticePallasStiffness:
         name = os.environ.get("FUS_PRECISION", "").lower()
         if name in ("b3", "b4"):
             return name
+        if not name and not self.interpret:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                # TPU default (round 3, hardware-gated): b4's per-apply
+                # error is 5.0e-6 — three orders below discretization —
+                # and the apply is MXU-pass-bound, so 4 passes instead of
+                # HIGHEST's 6 buys ~1/3 off the dominant term
+                # (benchmarks/PERFORMANCE.md). Planewave gate on silicon:
+                # 3.5e-3 (HIGHEST: 1.5e-3; gate 5e-3). FUS_PRECISION=
+                # highest opts back out.
+                return "b4"
         return _precision()
 
     def _axis_chunk_apply(self, x, plan, bk_by_cells, F, hetero, prec, last_axis):

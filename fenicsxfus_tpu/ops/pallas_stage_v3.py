@@ -251,17 +251,18 @@ class FusedRKStageV3(FusedRKStage):
 
                 import os as _os
 
-                # default: unrolled (concrete e) — the TPU-validated shape;
-                # FUS_V3_LOOP=1 selects the fori body (~be× smaller program)
-                if _os.environ.get("FUS_V3_LOOP", "") == "1":
-                    carry[:, :] = jax.lax.fori_loop(
-                        0, be, element, carry[:, :]
-                    )
-                else:
+                # default: fori body (round 3, hardware-validated; ~be×
+                # smaller program kills the per-shape compile tax).
+                # FUS_V3_UNROLL=1 opts back into the unrolled body.
+                if _os.environ.get("FUS_V3_UNROLL", "") == "1":
                     bnd = carry[:, :]
                     for e in range(be):
                         bnd = element(e, bnd)
                     carry[:, :] = bnd
+                else:
+                    carry[:, :] = jax.lax.fori_loop(
+                        0, be, element, carry[:, :]
+                    )
 
             @pl.when(b == B)
             def _():

@@ -170,17 +170,17 @@ def apply_v3(pk, xs, Fs):
                     out_ref[pl.ds(r, 1), :, :] = (y0 + acc12)[None, :, :]
                 return z_rows[p]  # k == p: shared with the next element
 
-            # default: unrolled (concrete e) — the TPU-validated shape.
-            # FUS_V3_LOOP=1 selects the fori_loop body (traced once, ~be×
-            # smaller Mosaic program / compile time); flip the default once
-            # validated on hardware.
-            if os.environ.get("FUS_V3_LOOP", "") == "1":
-                carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
-            else:
+            # default: fori body (round 3, hardware-validated — runtime
+            # within noise of unrolled, ~be× smaller Mosaic program so new
+            # production shapes skip the 15-20 min compile tax).
+            # FUS_V3_UNROLL=1 opts back into the unrolled body.
+            if os.environ.get("FUS_V3_UNROLL", "") == "1":
                 bnd = carry[:, :]
                 for e in range(be):
                     bnd = element(e, bnd)
                 carry[:, :] = bnd
+            else:
+                carry[:, :] = jax.lax.fori_loop(0, be, element, carry[:, :])
 
         @pl.when(b == B)
         def _():

@@ -304,9 +304,10 @@ def test_pallas_bsplit_precision(prec, tol, monkeypatch):
 
 @pytest.mark.slow
 def test_pallas_v3_loop_variant(monkeypatch):
-    """FUS_V3_LOOP=1 (fori_loop element body) == the unrolled default, apply
-    and full fused stage."""
-    monkeypatch.setenv("FUS_V3_LOOP", "1")
+    """FUS_V3_UNROLL=1 (unrolled element body) == the fori default, apply
+    and full fused stage (default flipped to fori in round 3 after the
+    on-chip validation; the unrolled variant stays as the opt-out)."""
+    monkeypatch.setenv("FUS_V3_UNROLL", "1")
     mesh = create_box((8, 5, 6), (0, 0, 0), (0.9, 0.7, 0.5))
     ops = SEMOperators(mesh, 3, dtype=jnp.float64)
     rng = np.random.default_rng(5)
