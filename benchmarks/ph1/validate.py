@@ -49,11 +49,17 @@ from benchmarks.ph1.common import (  # noqa: E402
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
 
+_PROFILE_CACHE = {}
+
+
 def _run_profile(sc, bm, nx, tf=None, dtype=None):
     import time
 
-    model, mesh, h, dt, spp = build_model(sc, bm, nx, dtype=dtype)
     tf = tf or (common.DOMAIN_L / 1500.0 + 8.0 / F0)
+    key = (sc, bm, nx, round(tf * 1e9), dtype)
+    if key in _PROFILE_CACHE:
+        return _PROFILE_CACHE[key]
+    model, mesh, h, dt, spp = build_model(sc, bm, nx, dtype=dtype)
     pts = axial_points()
     t0 = time.perf_counter()
     u, v, t, times, ys = model.rk_record(0.0, tf, pts)
@@ -61,7 +67,12 @@ def _run_profile(sc, bm, nx, tf=None, dtype=None):
     ndofs = model.number_of_dofs()
     print(f"  SC{sc}-BM{bm} nx={nx} tf={tf*1e6:.1f}us: {ndofs/1e6:.2f}M DOFs, "
           f"{elapsed:.1f}s")
-    return pts[0], steady_amplitude(times, ys), times, ys, ndofs
+    # identical (sc, bm, nx, tf) profiles are requested up to 3x per
+    # validate() call (convergence + stationarity + stamp) — cache them
+    # so chip time is paid once
+    result = (pts[0], steady_amplitude(times, ys), times, ys, ndofs)
+    _PROFILE_CACHE[key] = result
+    return result
 
 
 def convergence(sc, bm, nx, nx_fine, dtype=None, tf=None):
