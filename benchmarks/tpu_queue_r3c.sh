@@ -16,6 +16,20 @@ echo "--- [D'] operator timings p=4, HIGHEST (attribution)" >> $R
 FUS_PRECISION=highest timeout 2400 python -u benchmarks/operator_speed.py --degrees 4 >> $R 2>&1
 echo "D' rc=$?" >> $R
 
+# The stage attribution (D table vs headline): standalone stiffness p=4 is
+# 1.82ms/38.3M with b4 but the fused stage is 7.33ms/stage at 72.5M — ~53%
+# of the stage is non-stiffness overhead. Two levers, A/B'd on the REAL
+# headline so a win can flip the default before the round-end BENCH run:
+echo "--- [K1] headline with FUS_V3_ROWS=1 (row-batched quadrant dots)" >> $R
+FUS_V3_ROWS=1 timeout 2400 python -u bench.py >> $R 2>&1
+echo "K1 rc=$?" >> $R
+echo "--- [K2] headline with FUS_V3_ROWS=1 + FUS_BE=2 (fewer grid steps)" >> $R
+FUS_V3_ROWS=1 FUS_BE=2 timeout 2400 python -u bench.py >> $R 2>&1
+echo "K2 rc=$?" >> $R
+echo "--- [K3] operator p=4 with FUS_V3_ROWS=1 (standalone attribution)" >> $R
+FUS_V3_ROWS=1 timeout 2400 python -u benchmarks/operator_speed.py --degrees 4 >> $R 2>&1
+echo "K3 rc=$?" >> $R
+
 echo "--- [F1] HITU bowl-mesh O'Neil validation (H101 + H131)" >> $R
 timeout 6000 python -u -c "
 import sys; sys.path.insert(0,'benchmarks/hitu')
@@ -61,15 +75,17 @@ echo "--- [H] unstructured end-to-end solve benchmark" >> $R
 timeout 5000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 echo "H rc=$?" >> $R
 
-echo "--- [I] blocked v1 vs v2 vs v3 (transpose-gather / super-row) A/B" >> $R
+echo "--- [I] blocked v1 vs v3 (super-row) A/B + v3 end-to-end" >> $R
 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 echo "I-v1 rc=$?" >> $R
-FUS_BLOCKED=v2 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
-echo "I-v2 rc=$?" >> $R
 FUS_BLOCKED=v3 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 echo "I-v3 rc=$?" >> $R
 FUS_BLOCKED=v3 timeout 5000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
 echo "I-v3-solve rc=$?" >> $R
+
+echo "--- [I2] blocked v2 (transpose-gather) A/B" >> $R
+FUS_BLOCKED=v2 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+echo "I-v2 rc=$?" >> $R
 
 echo "--- [J] numbering-locality A/B (shuffled vs Morton+first-touch)" >> $R
 timeout 3000 python -u benchmarks/unstructured_speed.py --shuffle >> $R 2>&1

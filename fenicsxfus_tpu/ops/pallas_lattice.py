@@ -295,6 +295,69 @@ class LatticePallasStiffness:
         z = jnp.concatenate(zs, axis=0)  # [na, N, T]
         return _fold_value(z, p)
 
+    def _axis_rows_apply(
+        self, planes, plan, bk_by_cells, F_rows, hetero, prec, last_axis
+    ):
+        """Row-batched variant of ``_axis_chunk_apply``: contract P planes
+        in ONE MXU dot per chunk by stacking them along the non-contracted
+        dim, and fold the bf16-split passes into the same dot by quadrant
+        stacking ([bh;bl] x [xh|xl] -> the four products as quadrants).
+
+        The per-row path issues chunks*P*passes small dots per element per
+        axis with ~23% lane padding waste at production sizes; this issues
+        chunks dots with ~4% waste. Numerically identical to P separate
+        ``_axis_chunk_apply`` calls: same per-product fp32 accumulation,
+        same add order.
+
+        ``planes``: P values, [G1, G2] each; ``F_rows``: the P matching
+        per-row F slices. Returns the P folded results (transposed for the
+        last-axis variant, exactly as ``_axis_chunk_apply``).
+        """
+        N, p = self.N, self.p
+        P = len(planes)
+        cat = 0 if last_axis else 1
+        X = jnp.concatenate(planes, axis=cat)
+        S = jnp.concatenate(F_rows, axis=1)
+        f32, bf16 = X.dtype, jnp.bfloat16
+
+        zs = []
+        for lo_c, cells in plan:
+            lo = lo_c * p
+            W = cells * p + 1
+            bk = bk_by_cells[cells]
+            M = bk.shape[0]
+            if last_axis:
+                xw = X[:, lo : lo + W]
+                dims = (((1,), (1,)), ((), ()))
+            else:
+                xw = X[lo : lo + W, :]
+                dims = (((1,), (0,)), ((), ()))
+            if prec in ("b3", "b4"):
+                bh = bk.astype(bf16)
+                bl = (bk - bh.astype(f32)).astype(bf16)
+                xh = xw.astype(bf16)
+                xl = (xw - xh.astype(f32)).astype(bf16)
+                Bq = jnp.concatenate([bh, bl], axis=0)
+                Xq = jnp.concatenate([xh, xl], axis=cat)
+                zq = jax.lax.dot_general(
+                    Bq, Xq, dims, preferred_element_type=f32
+                )
+                T = zq.shape[1] // 2
+                z = (zq[:M, :T] + zq[:M, T:]) + zq[M:, :T]
+                if prec == "b4":
+                    z = z + zq[M:, T:]
+            else:
+                z = jax.lax.dot_general(
+                    bk, xw, dims, precision=prec,
+                    preferred_element_type=X.dtype,
+                )
+            z = z.reshape(cells, N, z.shape[-1])
+            s = S[lo_c : lo_c + cells, :] if hetero else S[0:1, :]
+            zs.append(z * s[:, None, :])
+        Y = _fold_value(jnp.concatenate(zs, axis=0), p)
+        Tn = Y.shape[1] // P
+        return [Y[:, k * Tn : (k + 1) * Tn] for k in range(P)]
+
     def pick_b0(self, n_field_blocks: int, budget_bytes: int = 48 << 20) -> int:
         """Planes per kernel-B grid step. One-plane steps leave the grid
         ~400 steps long at the 72.5M-DOF benchmark size, and per-step

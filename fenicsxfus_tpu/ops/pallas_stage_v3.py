@@ -106,6 +106,10 @@ class FusedRKStageV3(FusedRKStage):
         state = [x.reshape(gd) for x in state]
         state_b = [x[::bep] for x in state]  # block-boundary planes [B+1,...]
         prev_kvs = [x.reshape(gd) for x in prev_kvs]
+        import os as _os
+
+        # row-batched axes-1/2 (see pallas_v3 / _axis_rows_apply)
+        rowbatch = _os.environ.get("FUS_V3_ROWS", "") == "1"
 
         def kernel(*refs):
             b = pl.program_id(0)
@@ -236,6 +240,35 @@ class FusedRKStageV3(FusedRKStage):
                             zk = zk * s
                             acc = zk if acc is None else acc + zk
                         z_rows.append(acc)
+                    if rowbatch:
+                        rs = [e * p + k for k in range(p)]
+                        accs = None
+                        for f in range(nf):
+                            ys = pk._axis_rows_apply(
+                                [fields[f][k] for k in range(p)], plan1,
+                                bks, [ld(F1s[f], r) for r in rs],
+                                hetero[f], prec, last_axis=False,
+                            )
+                            y2s = pk._axis_rows_apply(
+                                [fields[f][k] for k in range(p)], plan2,
+                                bks, [ld(F2s[f], r) for r in rs],
+                                hetero[f], prec, last_axis=True,
+                            )
+                            ts = [y + y2.T for y, y2 in zip(ys, y2s)]
+                            accs = (
+                                ts if accs is None
+                                else [a + t for a, t in zip(accs, ts)]
+                            )
+                        for k in range(p):
+                            y0 = z_rows[k]
+                            if k == 0:
+                                y0 = y0 + boundary
+                            un_r, vn_r = rows[k]
+                            emit(
+                                e * p + k, st_rows[k], un_r, vn_r,
+                                y0 + accs[k],
+                            )
+                        return z_rows[p]
                     for k in range(p):
                         r = e * p + k
                         y0 = z_rows[k]

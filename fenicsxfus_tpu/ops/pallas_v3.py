@@ -89,6 +89,9 @@ def apply_v3(pk, xs, Fs):
     nb_f0 = (n0 + be - 1) // be
     xbs = [x[::bep] for x in xs]  # [B+1, G1, G2] block-boundary planes
     interp = pk.interpret
+    # row-batched axes-1/2 (one quadrant-stacked dot per chunk for the
+    # element's p rows — see _axis_rows_apply); opt-in until gated on chip
+    rowbatch = os.environ.get("FUS_V3_ROWS", "") == "1"
 
     def kernel(*refs):
         b = pl.program_id(0)
@@ -158,6 +161,33 @@ def apply_v3(pk, xs, Fs):
                         zk = zk * s
                         acc = zk if acc is None else acc + zk
                     z_rows.append(acc)
+                if rowbatch:
+                    accs = None
+                    for f in range(nf):
+                        rs = [e * p + k for k in range(p)]
+                        ys = pk._axis_rows_apply(
+                            [rows[f][k] for k in range(p)], plan1, bks,
+                            [ld(F1s[f], r) for r in rs], hetero[f], prec,
+                            last_axis=False,
+                        )
+                        y2s = pk._axis_rows_apply(
+                            [rows[f][k] for k in range(p)], plan2, bks,
+                            [ld(F2s[f], r) for r in rs], hetero[f], prec,
+                            last_axis=True,
+                        )
+                        ts = [y + y2.T for y, y2 in zip(ys, y2s)]
+                        accs = (
+                            ts if accs is None
+                            else [a + t for a, t in zip(accs, ts)]
+                        )
+                    for k in range(p):
+                        y0 = z_rows[k]
+                        if k == 0:
+                            y0 = y0 + boundary
+                        out_ref[pl.ds(e * p + k, 1), :, :] = (
+                            y0 + accs[k]
+                        )[None, :, :]
+                    return z_rows[p]
                 for k in range(p):  # rows e*p+k, k<p: owned by this block
                     r = e * p + k
                     y0 = z_rows[k]

@@ -326,3 +326,49 @@ def test_pallas_v3_loop_variant(monkeypatch):
         WesterveltSpectralExplicit, {"delta0": 4e-3, "beta0": 3.5}, True,
         monkeypatch,
     )
+
+
+@pytest.mark.slow
+def test_pallas_v3_rowbatch(monkeypatch):
+    """FUS_V3_ROWS=1 (row-batched axes-1/2: one quadrant-stacked dot per
+    chunk for the element's p rows, _axis_rows_apply) == the per-row
+    default, apply and full fused stage, const + heterogeneous, fp64
+    HIGHEST and fp32 b4."""
+    monkeypatch.setenv("FUS_V3_ROWS", "1")
+    mesh = create_box((8, 5, 6), (0, 0, 0), (0.9, 0.7, 0.5))
+    ops = SEMOperators(mesh, 3, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    lat = ops.lattice
+    pk = LatticePallasStiffness(lat, tile_cols=64, interpret=True)
+    x = jnp.asarray(rng.standard_normal(ops.ndofs)).reshape(lat.gdims)
+    y = pk.apply([x], [pk.pack_const(1.7)])
+    y_ref = lat.apply_scaled([(x, ops.pack_scales(1.7))])
+    assert np.max(np.abs(np.asarray(y - y_ref))) < 1e-11 * np.max(
+        np.abs(np.asarray(y_ref))
+    )
+    c = rng.uniform(0.5, 2.0, mesh.num_cells)
+    y2 = pk.apply([x], [pk.pack_field(c)])
+    y2_ref = lat.apply_scaled([(x, lat.scales_field(c))])
+    assert np.max(np.abs(np.asarray(y2 - y2_ref))) < 1e-11 * np.max(
+        np.abs(np.asarray(y2_ref))
+    )
+    # quadrant-stacked b4 dots == the separate-dot b4 path (bit-identical
+    # decomposition, bounded vs the fp64 reference)
+    monkeypatch.setenv("FUS_PRECISION", "b4")
+    ops32 = SEMOperators(mesh, 4, dtype=jnp.float32)
+    lat32 = ops32.lattice
+    pk32 = LatticePallasStiffness(lat32, tile_cols=64, interpret=True)
+    x32 = jnp.asarray(
+        rng.standard_normal(ops32.ndofs), jnp.float32
+    ).reshape(lat32.gdims)
+    yb = pk32.apply([x32], [pk32.pack_const(1.7)])
+    yb_ref = lat32.apply_scaled([(x32, ops32.pack_scales(1.7))])
+    rel = float(jnp.max(jnp.abs(yb - yb_ref)) / jnp.max(jnp.abs(yb_ref)))
+    assert rel < 5e-5, rel
+    monkeypatch.delenv("FUS_PRECISION")
+    from fenicsxfus_tpu.models.westervelt import WesterveltSpectralExplicit
+
+    _fused_vs_reference(
+        WesterveltSpectralExplicit, {"delta0": 4e-3, "beta0": 3.5}, True,
+        monkeypatch,
+    )
