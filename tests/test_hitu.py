@@ -115,6 +115,42 @@ def test_v_variant_is_lossy_not_nonlinear():
     assert float(np.max(np.abs(np.asarray(m.consts["src_cos_d"])))) > 0.0
 
 
+def test_h131_production_artifacts():
+    """Committed chip runs of the three H131 variants (reference drivers
+    cpp/fenicsx-sf{,-naive}/benchmarks/HITU/{W,V}-H131-WATER and
+    sf-fastor .../W-H131-LIVER): pin the physics orderings so a regression
+    in any solver family shows up as an artifact mismatch.
+
+    - Westervelt water focal peak exceeds the lossy (V) variant's: the
+      nonlinearity steepens and boosts the compressional peak.
+    - Liver (90 dB/m/MHz^2, beta=4.4) lands below water at the same drive.
+    - Peaks sit pre-focally but within the focal region of the 35 mm bowl.
+    """
+    import json
+
+    res = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "hitu", "results")
+    arts = {}
+    for name in ("w_h131_water", "w_h131_liver", "v_h131_water"):
+        f = os.path.join(res, f"{name}.npz")
+        if not os.path.exists(f):
+            pytest.skip("H131 production artifacts not committed yet")
+        d = np.load(f, allow_pickle=True)
+        meta = json.loads(str(d["meta"]))
+        amp = np.asarray(d["amplitude"])
+        x = np.asarray(d["x"])
+        assert np.all(np.isfinite(amp)), name
+        peak = float(amp.max())
+        xpk = float(x[int(amp.argmax())])
+        arts[name] = (peak, xpk, meta)
+        assert meta["ndofs"] > 5e6, name
+        # focal peak inside the focal region of the 35 mm-ROC bowl
+        assert 0.015 < xpk < 0.045, (name, xpk)
+        assert 1e6 < peak < 3e7, (name, peak)
+    assert arts["w_h131_water"][0] > arts["v_h131_water"][0]
+    assert arts["w_h131_water"][0] > arts["w_h131_liver"][0]
+
+
 def test_bowlmesh_cpu_convergence_artifacts():
     """Committed CPU h-convergence series of the bowl-FITTED mesh vs O'Neil
     (benchmarks/hitu/bowl_convergence_cpu.py): focal-gain and focal-region
