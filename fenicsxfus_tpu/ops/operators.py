@@ -260,18 +260,24 @@ class SEMOperators:
         y3 = jnp.zeros(self.lattice.gdims, dt)
         return y3.at[: hy["slab_x"]].set(t).reshape(-1)
 
-    def _band_correction(self, xs, band_coeffs):
-        """y += K_{coeff·(G_cell − G_uniform)}(x) over the deformed slab."""
+    def _band_correction(self, xs, band_coeffs, G=None):
+        """y += K_{coeff·(G_cell − G_uniform)}(x) over the deformed slab.
+
+        ``G`` is the per-cell correction tensor; production callers pass it
+        through the prepared coeff dict (a traced jit argument) so the
+        [Nb, N^d, nsym] array never gets baked into the HLO as a literal
+        constant — at production sizes that constant alone exceeded the
+        remote-compile request limit (HTTP 413)."""
+        if G is None:
+            G = self.hybrid["G_corr"]
         z = None
         for x, cb in zip(xs, band_coeffs):
             zc = cb.reshape(-1, 1, 1, 1).astype(x.dtype) * self._band_gather(x)
             z = zc if z is None else z + zc
         if self._use_dense_tab():
-            yc = stiffness_cells_dense(
-                self.B_tab, self.hybrid["G_corr"], z, self.d
-            )
+            yc = stiffness_cells_dense(self.B_tab, G, z, self.d)
         else:
-            yc = stiffness_cells(self.D, self.hybrid["G_corr"], z, self.d)
+            yc = stiffness_cells(self.D, G, z, self.d)
         return self._band_scatter(yc)
 
     def _hybrid_coeff(self, coeff):
@@ -289,6 +295,9 @@ class SEMOperators:
         return {
             "hyb_u": u,
             "hyb_b": jnp.asarray(full[: self.hybrid["nb"]], self.dtype),
+            # ride the consts pytree into jit as an argument (not an HLO
+            # constant); the same device buffer is shared across coeffs
+            "hyb_G": self.hybrid["G_corr"],
         }
 
     # ------------------------------------------------- lazy gather/scatter maps
@@ -500,7 +509,7 @@ class SEMOperators:
                     for x, u in zip(xs, us)
                 ]
                 y = self.lattice.apply_scaled(pairs).reshape(-1)
-            y = y + self._band_correction(xs, bs)
+            y = y + self._band_correction(xs, bs, cs[0].get("hyb_G"))
             return self.complete(y)
         pk = self.pallas2
         if pk is not None:
