@@ -348,12 +348,15 @@ class ExplicitModelBase(SpectralModelBase):
         pk = getattr(self.ops, "pallas2", None)
         if not kind or pk is None or os.environ.get("FUS_FUSED", "") == "0":
             return None
-        if getattr(self.ops, "hybrid", None) is not None:
-            # hybrid (bowl-deformed) meshes: the stiffness needs the
-            # per-cell band correction on top of the lattice kernel —
-            # not expressible inside the fused stage; use the scan path
-            # (the correction slab is a few % of the domain, so the
-            # unfused overhead is bounded).
+        hyb = getattr(self.ops, "hybrid", None)
+        if hyb is not None and (
+            os.environ.get("FUS_STAGE_V3", "1") == "0"
+            or os.environ.get("FUS_HYBRID_FUSED", "1") == "0"
+        ):
+            # hybrid (bowl-deformed) meshes fuse only via the v3 stage's
+            # band operand; the legacy A/B stage pair has no injection
+            # point — fall back to the unfused scan there (or when the
+            # hybrid fusion is explicitly disabled).
             return None
         from ..ops.pallas_stage import (
             KIND_DENSE,
@@ -369,6 +372,13 @@ class ExplicitModelBase(SpectralModelBase):
         Fs = [self.consts.get(k) for k in keys]
         if not all(isinstance(F, dict) for F in Fs):
             return None
+        if hyb is not None:
+            # prepared hybrid coeffs: {"hyb_u": packed uniform part,
+            # "hyb_b": slab DG-0 coeff, "hyb_G": G-correction tensor}
+            if not all("hyb_u" in F and isinstance(F["hyb_u"], dict)
+                       for F in Fs):
+                return None
+            Fs = [F["hyb_u"] for F in Fs]
         if not all(k in self.consts for k in dense_keys + facet_keys):
             return None
         # pack the facet vectors once (host-side); any interior support
@@ -396,12 +406,46 @@ class ExplicitModelBase(SpectralModelBase):
         stage = stage_cls(
             pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
         )
+        if hyb is None:
+            return stage.make_step(
+                lambda c: [c[k] for k in keys],
+                lambda c: (
+                    [c[k] for k in dense_keys],
+                    [c[k + "__pf"] for k in facet_keys],
+                ),
+            )
+
+        # hybrid (bowl-deformed) mesh: the v3 stage applies the packed
+        # UNIFORM-lattice coefficients in-kernel and adds the deformed-slab
+        # correction K_{coeff·(G_cell − G_uni)} computed here in XLA from
+        # the slab rows of the stage fields (same recurrence as
+        # FusedRKStage._stage_fields)
+        ops_ = self.ops
+        sx = hyb["slab_x"]
+        nfields = len(keys)
+        dtype = self.dtype
+        gdims = pk.gdims
+
+        def band_fn(c, u0, v0, kvp, kvpp, alpha, beta):
+            un = u0[:sx] + alpha * v0[:sx]
+            if kvpp is not None:
+                un = un + beta * kvpp[:sx]
+            vn = v0[:sx] + alpha * kvp[:sx] if kvp is not None else v0[:sx]
+            cs = [c[k] for k in keys]
+            rows = ops_.band_correction_rows(
+                [un, vn][:nfields],
+                [cc["hyb_b"] for cc in cs],
+                cs[0]["hyb_G"],
+            )
+            return jnp.zeros(gdims, dtype).at[:sx].set(rows)
+
         return stage.make_step(
-            lambda c: [c[k] for k in keys],
+            lambda c: [c[k]["hyb_u"] for k in keys],
             lambda c: (
                 [c[k] for k in dense_keys],
                 [c[k + "__pf"] for k in facet_keys],
             ),
+            band_fn=band_fn,
         )
 
     def rhs(self, t, u, v):

@@ -233,20 +233,33 @@ class SEMOperators:
     def _band_gather(self, x):
         """Global vector → slab cell array [Nb, N, N, N] via three window
         matmuls (row-granular, index-free)."""
+        return self._band_gather_rows(
+            x.reshape(self.lattice.gdims)[: self.hybrid["slab_x"]]
+        )
+
+    def _band_gather_rows(self, t):
+        """Slab lattice rows [slab_x, G1, G2] → slab cell array
+        [Nb, N, N, N] (three window matmuls, row-granular, index-free)."""
         hy = self.hybrid
         N = self.N
         E0, E1, E2 = hy["Es"]
         b0, b1, b2 = hy["blocks"]
-        t = x.reshape(self.lattice.gdims)[: hy["slab_x"]]
-        t = _einsum("ia,ijk->ajk", E0.astype(x.dtype), t)
-        t = _einsum("jb,ajk->abk", E1.astype(x.dtype), t)
-        t = _einsum("kc,abk->abc", E2.astype(x.dtype), t)
+        t = _einsum("ia,ijk->ajk", E0.astype(t.dtype), t)
+        t = _einsum("jb,ajk->abk", E1.astype(t.dtype), t)
+        t = _einsum("kc,abk->abc", E2.astype(t.dtype), t)
         t = t.reshape(b0, N, b1, N, b2, N).transpose(0, 2, 4, 1, 3, 5)
         return t.reshape(hy["nb"], N, N, N)
 
     def _band_scatter(self, yc):
         """Slab cell array → additive contribution on the global lattice
         (zeros beyond the slab) — the transpose of ``_band_gather``."""
+        t = self._band_scatter_rows(yc)
+        y3 = jnp.zeros(self.lattice.gdims, t.dtype)
+        return y3.at[: self.hybrid["slab_x"]].set(t).reshape(-1)
+
+    def _band_scatter_rows(self, yc):
+        """Slab cell array → slab lattice rows [slab_x, G1, G2] — the
+        transpose of ``_band_gather_rows``."""
         hy = self.hybrid
         N = self.N
         E0, E1, E2 = hy["Es"]
@@ -256,9 +269,23 @@ class SEMOperators:
         t = t.reshape(b0 * N, b1 * N, b2 * N)
         t = _einsum("kc,abc->abk", E2.astype(dt), t)
         t = _einsum("jb,abk->ajk", E1.astype(dt), t)
-        t = _einsum("ia,ajk->ijk", E0.astype(dt), t)
-        y3 = jnp.zeros(self.lattice.gdims, dt)
-        return y3.at[: hy["slab_x"]].set(t).reshape(-1)
+        return _einsum("ia,ajk->ijk", E0.astype(dt), t)
+
+    def band_correction_rows(self, field_rows, band_coeffs, G):
+        """K_{coeff·(G_cell − G_uniform)} on the slab rows only:
+        ``field_rows`` are the stage fields pre-sliced to [slab_x, G1, G2]
+        (fused-stage path, where un/vn are formed outside the kernel from
+        u0/v0/k's); returns the additive correction on the same rows."""
+        z = None
+        for t, cb in zip(field_rows, band_coeffs):
+            zc = cb.reshape(-1, 1, 1, 1).astype(t.dtype) \
+                * self._band_gather_rows(t)
+            z = zc if z is None else z + zc
+        if self._use_dense_tab():
+            yc = stiffness_cells_dense(self.B_tab, G, z, self.d)
+        else:
+            yc = stiffness_cells(self.D, G, z, self.d)
+        return self._band_scatter_rows(yc)
 
     def _band_correction(self, xs, band_coeffs, G=None):
         """y += K_{coeff·(G_cell − G_uniform)}(x) over the deformed slab.

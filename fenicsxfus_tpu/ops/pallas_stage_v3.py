@@ -72,7 +72,8 @@ class FusedRKStageV3(FusedRKStage):
 
     # ------------------------------------------------------------ the call
 
-    def _stage_call(self, u0, v0, kvp, kvpp, prev_kvs, scal, Fs, extras, final):
+    def _stage_call(self, u0, v0, kvp, kvpp, prev_kvs, scal, Fs, extras,
+                    final, band=None):
         pk = self.pk
         G0, G1, G2 = pk.gdims
         p, N = pk.p, pk.N
@@ -97,7 +98,10 @@ class FusedRKStageV3(FusedRKStage):
         has_kvpp = kvpp is not None
         n_prev = len(prev_kvs)
 
-        n_field_ops = ns_state + n_prev + nde + (2 if final else 1)
+        has_band = band is not None
+        n_field_ops = (
+            ns_state + n_prev + nde + (2 if final else 1) + int(has_band)
+        )
         be = _pick_be(n0, p, n_field_ops, gd)
         bep = be * p
         B = n0 // be
@@ -123,6 +127,9 @@ class FusedRKStageV3(FusedRKStage):
             F2s = [refs[i + f] for f in range(nf)]; i += nf
             bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
             dense_r = [refs[i + j] for j in range(nde)]; i += nde
+            band_r = None
+            if has_band:
+                band_r = refs[i]; i += 1
             fv = []
             for _j in range(nfa):
                 fv.append((refs[i], refs[i + 1], refs[i + 2]))
@@ -154,6 +161,10 @@ class FusedRKStageV3(FusedRKStage):
             def emit(r, srows, un_r, vn_r, acc):
                 """Epilogue for output row r: facet corrections, mass
                 divide, and (final stage) the step update."""
+                if has_band:
+                    # hybrid (bowl-deformed) mesh: add the deformed-slab
+                    # stiffness correction computed outside the kernel
+                    acc = acc + ld(band_r, r)
                 g0 = b * bep + r
                 coefs = [scal_r[0, 2 + j] for j in range(nfa - 1)] + ["abc"]
                 fvals = [
@@ -374,6 +385,9 @@ class FusedRKStageV3(FusedRKStage):
         for e in dense:
             args.append(e.reshape(gd))
             specs.append(blk)
+        if has_band:
+            args.append(band)
+            specs.append(blk)
         for fp in facets:
             args.append(fp["xp"])
             specs.append(
@@ -416,8 +430,14 @@ class FusedRKStageV3(FusedRKStage):
 
     # --------------------------------------------------- make_step override
 
-    def make_step(self, consts_to_Fs, consts_to_extras):
-        """Same driver as v2 but each stage is ONE fused pallas call."""
+    def make_step(self, consts_to_Fs, consts_to_extras, band_fn=None):
+        """Same driver as v2 but each stage is ONE fused pallas call.
+
+        ``band_fn(consts, u0, v0, kvp, kvpp, alpha, beta) -> [G0,G1,G2]``
+        (optional) supplies the hybrid (bowl-deformed) slab stiffness
+        correction per stage, computed in XLA from the same stage-field
+        recurrence the kernel uses internally; the kernel adds it to the
+        assembled stiffness before the epilogue."""
         import numpy as np
 
         from .pallas_stage import source_coefs
@@ -456,16 +476,21 @@ class FusedRKStageV3(FusedRKStage):
                 kvpp_a = kvpp.reshape(self.pk.gdims) if kvpp is not None else None
                 u0a = u0.reshape(self.pk.gdims)
                 v0a = v0.reshape(self.pk.gdims)
+                band = (
+                    band_fn(consts, u0a, v0a, kvp_a, kvpp_a, alpha, beta)
+                    if band_fn is not None
+                    else None
+                )
                 if final:
                     u1, v1 = self._stage_call(
                         u0a, v0a, kvp_a, kvpp_a, kvs[: max(0, i - 2)],
-                        scal, Fs, extras, final=True,
+                        scal, Fs, extras, final=True, band=band,
                     )
                     out = (u1.reshape(-1), v1.reshape(-1), t + dtn)
                 else:
                     kv = self._stage_call(
                         u0a, v0a, kvp_a, kvpp_a, [], scal, Fs, extras,
-                        final=False,
+                        final=False, band=band,
                     )
                     kvs.append(kv)
             return out, None

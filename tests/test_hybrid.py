@@ -103,6 +103,50 @@ def test_hybrid_model_run_matches_general(monkeypatch):
     assert np.max(np.abs(u_h - u_g)) / scale < 1e-10
 
 
+@pytest.mark.parametrize("kind", ["linear", "westervelt"])
+def test_hybrid_fused_stage_matches_unfused(kind, monkeypatch):
+    """Bowl meshes through the FUSED v3 RK stage (uniform lattice kernel +
+    band-correction operand computed in XLA) must match the unfused hybrid
+    scan to fp64 roundoff — the production bowl-mesh HITU hot path."""
+    mesh, focus = _bowl_mesh((8, 7, 7))
+    nc = mesh.num_cells
+    rng = np.random.default_rng(11)
+    c0 = rng.uniform(0.9, 1.1, nc)
+    rho0 = rng.uniform(0.9, 1.1, nc)
+    f0 = 1.0 / 0.3
+    dt = 0.3 * mesh.h_min() / 9
+
+    def build():
+        if kind == "linear":
+            m = fus.LinearSpectralExplicit(
+                mesh, None, 3, c0, rho0, f0, 1.0, 1.0, 4, dt,
+                dtype=jnp.float64,
+            )
+        else:
+            m = fus.WesterveltSpectralExplicit(
+                mesh, None, 3, c0, rho0, 4e-3, 3.5, f0, 1.0, 1.0, 4, dt,
+                dtype=jnp.float64,
+            )
+        m.init()
+        return m
+
+    monkeypatch.setenv("FUS_PALLAS", "1")  # interpret-mode pallas on CPU
+    m_fused = build()
+    assert m_fused.ops.hybrid is not None
+    assert m_fused._try_build_fused() is not None, "hybrid fused not taken"
+    uf, vf, _ = m_fused.rk(0.0, 20 * dt)
+
+    monkeypatch.setenv("FUS_PALLAS", "0")
+    m_ref = build()
+    assert m_ref._try_build_fused() is None
+    ur, vr, _ = m_ref.rk(0.0, 20 * dt)
+
+    for a, b in [(uf, ur), (vf, vr)]:
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 1e-11, err
+
+
 def test_sharding_rejects_deformed_mesh():
     """Grid/slab decompositions assume uniform geometry; a bowl mesh must
     be rejected loudly, not silently flattened."""
