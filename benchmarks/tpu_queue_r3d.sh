@@ -16,6 +16,23 @@ past_cutoff() { [ "$(date +%s)" -ge "$CUTOFF" ]; }
 echo "=== $(date) r3 queue PART D start ===" >> $R
 
 if ! past_cutoff; then
+echo "--- [O] bowl-mesh H101 production RERUN on the fused hybrid stage (93cca74)" >> $R
+timeout 4800 python -u -c "
+import sys; sys.path.insert(0,'benchmarks/hitu')
+import common as c
+c.run('W','H101','WATER', nx=80, bowl=True,
+      out='benchmarks/hitu/results/w_h101_water_bowlmesh_fused.npz')
+" >> $R 2>&1
+echo "O rc=$?" >> $R
+fi
+
+if ! past_cutoff; then
+echo "--- [M] hybrid apply attribution (lattice vs hybrid vs band) nx=80" >> $R
+timeout 3600 python -u benchmarks/hybrid_speed.py --nx 80 >> $R 2>&1
+echo "M rc=$?" >> $R
+fi
+
+if ! past_cutoff; then
 echo "--- [L] bowl-mesh O'Neil chip validation nx=96 (413-fixed rerun)" >> $R
 timeout 7200 python -u -c "
 import sys; sys.path.insert(0,'benchmarks/hitu')
@@ -24,12 +41,6 @@ c.validate_bowl_mesh('H101', f0=0.35e6, nx=96, out='benchmarks/hitu/results/onei
 c.validate_bowl_mesh('H131', f0=0.45e6, nx=96, out='benchmarks/hitu/results/oneil_bowlmesh_h131.npz')
 " >> $R 2>&1
 echo "L rc=$?" >> $R
-fi
-
-if ! past_cutoff; then
-echo "--- [M] hybrid apply attribution (lattice vs hybrid vs band) nx=80" >> $R
-timeout 3600 python -u benchmarks/hybrid_speed.py --nx 80 >> $R 2>&1
-echo "M rc=$?" >> $R
 fi
 
 if ! past_cutoff; then
