@@ -33,6 +33,22 @@ echo "M rc=$?" >> $R
 fi
 
 if ! past_cutoff; then
+echo "--- [P1] unstructured end-to-end RERUN (warmup-fixed harness)" >> $R
+timeout 5000 python -u benchmarks/unstructured_solve.py >> $R 2>&1
+echo "P1 rc=$?" >> $R
+fi
+
+if ! past_cutoff; then
+echo "--- [P2] blocked v1/v2/v3 apply A/B RERUN (widened slope timer)" >> $R
+timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+echo "P2-v1 rc=$?" >> $R
+FUS_BLOCKED=v2 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+echo "P2-v2 rc=$?" >> $R
+FUS_BLOCKED=v3 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+echo "P2-v3 rc=$?" >> $R
+fi
+
+if ! past_cutoff; then
 echo "--- [L] bowl-mesh O'Neil chip validation nx=96 (413-fixed rerun)" >> $R
 timeout 7200 python -u -c "
 import sys; sys.path.insert(0,'benchmarks/hitu')

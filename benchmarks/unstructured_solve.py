@@ -62,9 +62,14 @@ def uniform_box(nx):
 
 
 def solve_rate(mesh, degree, steps, dtype=None, label=""):
-    """GDOF-RK4-steps/s for a Westervelt solve of ``steps`` steps (steady
-    repetition: time steps 2..steps so compile + first-launch overheads are
-    excluded — methodology of ``measure_solver_speed``)."""
+    """GDOF-RK4-steps/s for a Westervelt solve of ``steps`` steps.
+
+    The scan program is shape-specialised on the segment length, so the
+    warm-up must run the IDENTICAL (t0, tf, dt) window — a short warm-up
+    leaves the full-length compile inside the timed region (this corrupted
+    the first committed round-3 numbers by 10-100x at small sizes). Warm
+    once, reset the state, rerun the same window timed — methodology of
+    ``measure_solver_speed`` (steady repetition, compile excluded)."""
     import jax.numpy as jnp
 
     from fenicsxfus_tpu import WesterveltSpectralExplicit
@@ -79,12 +84,14 @@ def solve_rate(mesh, degree, steps, dtype=None, label=""):
     )
     m.init()
     ndofs = m.number_of_dofs()
-    m.rk(0.0, 2 * dt)  # compile + warm
+    u0, v0 = m.u_n, m.v_n
+    m.rk(0.0, steps * dt)  # compile + warm the full-length program
+    m.u_n, m.v_n, m.t = u0, v0, 0.0
     t0 = time.perf_counter()
-    m.rk(2 * dt, steps * dt)
+    m.rk(0.0, steps * dt)  # identical window -> cached program
     _ = float(np.asarray(m.u_n[0]))  # sync
     wall = time.perf_counter() - t0
-    n_run = steps - 2
+    n_run = steps
     rate = ndofs * n_run / wall / 1e9
     print(f"  {label or 'mesh'}: nx={nx} p={degree} DOFs={ndofs/1e6:.2f}M "
           f"steps={n_run} wall={wall:.2f}s -> {rate:.4f} GDOF-RK4-steps/s")

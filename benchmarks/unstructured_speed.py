@@ -25,13 +25,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def make_slope_timer():
-    """Per-apply cost as the slope between rep-10 and rep-20 fori_loop
+    """Per-apply cost as the slope between rep-10 and rep-50 fori_loop
     chains (same methodology as operator_speed.py — a single launch through
-    the relay costs ~30 ms of dispatch latency that must cancel out)."""
+    the relay costs ~30 ms of dispatch latency that must cancel out).
+
+    The rep spread must keep the slope well above the relay's launch
+    jitter: at the small sizes this harness runs (~1 ms/apply), a 10-vs-20
+    spread left the 10 ms signal inside the +-5-10 ms dispatch noise and
+    produced NEGATIVE timings in the first committed round-3 table; 10-vs-50
+    puts ~40 ms of compute between the endpoints."""
     import jax
     import jax.numpy as jnp
 
-    def timeit(f, x, n=3):
+    def timeit(f, x, n=5):
         y = f(x)
         _ = float(jnp.sum(y.reshape(-1)[:8]))
         best = 1e9
@@ -48,7 +54,7 @@ def make_slope_timer():
         )
 
     def slope(f, x):
-        return (timeit(chain(f, 20), x) - timeit(chain(f, 10), x)) / 10
+        return (timeit(chain(f, 50), x) - timeit(chain(f, 10), x)) / 40
 
     return slope
 
