@@ -46,6 +46,10 @@ FUS_BLOCKED=v2 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&
 echo "P2-v2 rc=$?" >> $R
 FUS_BLOCKED=v3 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
 echo "P2-v3 rc=$?" >> $R
+FUS_BLOCKED=v3 FUS_V3_EXTRACT=dot timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+echo "P2-v3dot rc=$?" >> $R
+FUS_BLOCKED=v3 FUS_V3_LANES=32 timeout 3000 python -u benchmarks/unstructured_speed.py >> $R 2>&1
+echo "P2-v3L32 rc=$?" >> $R
 fi
 
 if ! past_cutoff; then

@@ -93,15 +93,29 @@ def _widen(t, R):
 
 def wide_gather(t, idw, pos, R):
     """Gather narrow rows of ``t`` [n, w] by R·w-lane super-rows: fetch
-    wide row ``idw``, extract the narrow row at ``pos`` as a
-    position-masked sum of R static slices (exact — one mask is 1, the
-    others select 0). Wide-row gather throughput is what the chip
-    sustains; the extraction is fused VPU selects. Shared by the
-    single-device v3 schedule and the sharded unstructured path."""
+    wide row ``idw``, extract the narrow row at ``pos``. Wide-row gather
+    throughput is what the chip sustains; the extraction is exact (one
+    selector is 1, the others pick 0). Shared by the single-device v3
+    schedule and the sharded unstructured path.
+
+    Two extraction schedules (FUS_V3_EXTRACT, read at trace time):
+
+    mask  R static slices, each position-masked then summed — R fused
+          VPU passes over the gathered wide rows.
+    dot   one batched one-hot contraction einsum('nr,nrw->nw') — a
+          single pass over the wide rows if XLA fuses the reshape;
+          queued for on-chip A/B against mask (the first v3 chip run
+          measured the extraction, not the gather, as the cost)."""
     w = t.shape[1]
     wide = _widen(t, R)[idw]
     if R == 1:
         return wide
+    if os.environ.get("FUS_V3_EXTRACT", "mask") == "dot":
+        sel = (pos == jnp.arange(R, dtype=pos.dtype)[None, :]).astype(t.dtype)
+        return jnp.einsum(
+            "nr,nrw->nw", sel, wide.reshape(wide.shape[0], R, w),
+            precision=_PREC,
+        )
     out = None
     for p in range(R):
         piece = jnp.where(pos == p, wide[:, p * w : (p + 1) * w], 0)

@@ -86,14 +86,14 @@ def test_stiffness_blocked_vs_oracle(dim):
     assert np.max(np.abs(y_fast - y_ref)) < 1e-13 * scale
 
 
-@pytest.mark.parametrize("mode", ["v2", "v3"])
+@pytest.mark.parametrize("mode", ["v2", "v3", "v3dot"])
 @pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("degree", [1, 2, 4])
 def test_v2_v3_schedules_match_v1(dim, degree, mode, monkeypatch):
     """FUS_BLOCKED=v2 (fused gathers + incidence-table transpose-gather
     scatter) and v3 (the same routed through 128-lane super-row gathers
-    with position-mask extraction) must match the v1 schedule bit-for-bit
-    on integer data."""
+    with position-mask or one-hot-dot extraction) must match the v1
+    schedule bit-for-bit on integer data."""
     mesh = MESHES[dim]()
     ops = SEMOperators(mesh, degree, dtype=jnp.float64)
     rng = np.random.default_rng(4)
@@ -105,6 +105,9 @@ def test_v2_v3_schedules_match_v1(dim, degree, mode, monkeypatch):
     )
     g1 = np.asarray(ops.blocked.gather(x))
     s1 = np.asarray(ops.blocked.scatter(yc))
+    if mode == "v3dot":
+        mode = "v3"
+        monkeypatch.setenv("FUS_V3_EXTRACT", "dot")
     monkeypatch.setenv("FUS_BLOCKED", mode)
     g2 = np.asarray(ops.blocked.gather(x))
     s2 = np.asarray(ops.blocked.scatter(yc))
