@@ -137,23 +137,41 @@ class SlabDecomposition:
     """
 
     def __init__(self, mesh: Mesh, degree: int, ndev: int, dtype):
+        import os
+
         if mesh.grid_shape is None:
             raise ValueError("slab decomposition needs a structured mesh")
+        hyb_src = None
         if getattr(mesh, "uniform_hint", True) is False:
-            raise ValueError(
-                "slab decomposition requires a uniform lattice; this mesh "
-                "is deformed (uniform_hint=False) — shard it with "
-                "as_unstructured(mesh) + ShardedUnstructuredExplicitSolver, "
-                "or run single-device (hybrid fast path)"
-            )
-        self._setup(
-            mesh.grid_shape,
-            mesh.vertices.min(axis=0),
-            mesh.vertices.max(axis=0),
-            degree,
-            ndev,
-            dtype,
-        )
+            if (
+                mesh.dim == 3
+                and getattr(mesh, "blend_layers", 0)
+                and getattr(mesh, "uniform_box", None) is not None
+                and os.environ.get("FUS_HYBRID", "") != "0"
+            ):
+                # bowl-deformed lattice (core/bowl.py): all deformation
+                # lives in the first blend_layers x-layers, so the slab
+                # partition can keep the fast path — see _hybridize
+                hyb_src = mesh
+            else:
+                raise ValueError(
+                    "slab decomposition requires a uniform lattice or a "
+                    "bowl-deformed one (blend_layers + uniform_box set); "
+                    "this mesh is generally deformed — shard it with "
+                    "as_unstructured(mesh) + "
+                    "ShardedUnstructuredExplicitSolver, or run "
+                    "single-device"
+                )
+        if hyb_src is not None:
+            # the bowl cap dips BACKWARD past the box (vertices.min would
+            # see the sagitta); the slab geometry is the UNIFORM box
+            lo, hi = (np.asarray(a, float) for a in mesh.uniform_box)
+        else:
+            lo = mesh.vertices.min(axis=0)
+            hi = mesh.vertices.max(axis=0)
+        self._setup(mesh.grid_shape, lo, hi, degree, ndev, dtype)
+        if hyb_src is not None:
+            self._hybridize(hyb_src)
 
     @classmethod
     def from_grid(cls, grid, lo, hi, degree: int, ndev: int, dtype):
@@ -206,6 +224,49 @@ class SlabDecomposition:
         )
         self.sharding = NamedSharding(self.jmesh, P(AXIS))
         self.rep_sharding = NamedSharding(self.jmesh, P())
+
+    def _hybridize(self, mesh):
+        """Rebuild the local operators hybrid-aware for a bowl-deformed
+        lattice (``core/bowl.py``): all deformation is confined to the
+        first ``blend_layers`` x-layers of cells, so the slab partition
+        keeps the lattice/Pallas fast path on EVERY device and the
+        per-cell geometry correction K_{coeff·(G_cell − G_uni)} runs as
+        per-device DATA — real tables on device 0, zeros elsewhere (where
+        the correction is then an exact no-op). Every device runs the
+        identical SPMD program; the blend band must fit inside device 0's
+        slab. Reference analogue: its partitioner distributes the gmsh
+        bowl meshes like any other mesh
+        (``cpp/fenicsx-sf/tests/test_operators3d/main.cpp:31``)."""
+        n = self.grid
+        bx = int(mesh.blend_layers)
+        if bx > self.nxl:
+            raise ValueError(
+                f"hybrid slab sharding needs the blend band "
+                f"(blend_layers={bx} x-layers) inside device 0's slab "
+                f"({self.nxl} layers); use <= {max(1, n[0] // bx)} devices "
+                "or shard via as_unstructured(mesh)"
+            )
+        gv = mesh.vertices.reshape(tuple(na + 1 for na in n) + (3,))
+        local = self.local_mesh
+        lmesh = Mesh(
+            dim=3,
+            vertices=gv[: self.nxl + 1].reshape(-1, 3),
+            cells=local.cells,
+            grid_shape=local.grid_shape,
+            uniform_hint=False,
+        )
+        lmesh.blend_layers = bx
+        hi_l = self.hi.copy()
+        hi_l[0] = self.lo[0] + self.nxl * self.hx
+        lmesh.uniform_box = (self.lo.copy(), hi_l)
+        self.local_mesh = lmesh
+        self.ops = HaloSEMOperators(lmesh, self.degree, self.dtype)
+        if self.ops.hybrid is None:  # pragma: no cover - guarded above
+            raise RuntimeError("hybrid local operators failed to build")
+        self.ops.configure_halo(self.ndev, self.Lx, self.row_size)
+        self.local_ndofs = self.ops.ndofs
+        assert self.local_ndofs == self.Lx * self.row_size
+        self._hyb_G_stacked = None  # built once on first _pack_stiff_coeff
 
     # ---- global <-> stacked dof vectors ----------------------------------
     def to_stacked(self, vec, pad_value: float = 0.0) -> jnp.ndarray:
@@ -364,6 +425,8 @@ class SlabDecomposition:
         per_dev = self._pad_cells_axis0(np.asarray(coeff, np.float64)).reshape(
             self.ndev, self.cells_per_dev
         )
+        if self.ops.hybrid is not None:
+            return self._pack_hybrid_coeff(per_dev)
         pk = self.ops.pallas2
         if pk is not None:
             packed = [pk.pack_field(per_dev[d]) for d in range(self.ndev)]
@@ -386,6 +449,55 @@ class SlabDecomposition:
             for a in range(len(packed[0]))
         )
         return stacked
+
+    def _pack_hybrid_coeff(self, per_dev):
+        """Per-device HYBRID stiffness coefficients (bowl-deformed slabs,
+        see ``_hybridize``): the uniform part packs exactly like the
+        lattice path from each device's slab cells; the band data is real
+        on device 0 and zero elsewhere (the correction is linear in both
+        the coefficient and the G tensor, so zeros make it an exact
+        no-op). The stacked G-correction tensor is built once and the
+        same buffer is shared across every coefficient key."""
+        hy = self.ops.hybrid
+        nb = int(hy["nb"])
+        pk = self.ops.pallas2
+        if pk is not None:
+            packed = [pk.pack_field(per_dev[d]) for d in range(self.ndev)]
+            hyb_u = {
+                k: jax.device_put(
+                    jnp.stack([packed[d][k] for d in range(self.ndev)]),
+                    self.sharding,
+                )
+                for k in packed[0]
+            }
+        else:
+            packed = [
+                tuple(self.ops.lattice.scales_field(per_dev[d]))
+                for d in range(self.ndev)
+            ]
+            hyb_u = tuple(
+                jax.device_put(
+                    jnp.stack([packed[d][a] for d in range(self.ndev)]),
+                    self.sharding,
+                )
+                for a in range(len(packed[0]))
+            )
+        b = np.zeros((self.ndev, nb), np.float64)
+        b[0] = per_dev[0][:nb]
+        if getattr(self, "_hyb_G_stacked", None) is None:
+            Gc = np.asarray(hy["G_corr_np"], np.float64)
+            N = self.ops.N
+            G0 = Gc.reshape((nb,) + (N,) * 3 + (Gc.shape[-1],))
+            Gs = np.zeros((self.ndev,) + G0.shape, np.float64)
+            Gs[0] = G0
+            self._hyb_G_stacked = jax.device_put(
+                jnp.asarray(Gs, self.dtype), self.sharding
+            )
+        return {
+            "hyb_u": hyb_u,
+            "hyb_b": jax.device_put(jnp.asarray(b, self.dtype), self.sharding),
+            "hyb_G": self._hyb_G_stacked,
+        }
 
     def _pack_nodal_coeff(self, nodal):
         """Per-device packed *nodal* stiffness coefficient (sponge δ(x)):

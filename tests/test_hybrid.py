@@ -148,16 +148,101 @@ def test_hybrid_fused_stage_matches_unfused(kind, monkeypatch):
 
 
 def test_sharding_rejects_deformed_mesh():
-    """Grid/slab decompositions assume uniform geometry; a bowl mesh must
-    be rejected loudly, not silently flattened."""
+    """The multi-axis grid decomposition assumes uniform geometry — a bowl
+    mesh must be rejected loudly. The slab decomposition accepts bowls
+    (hybrid sharding) but must refuse when the blend band does not fit
+    inside device 0's slab, not silently flatten the geometry."""
     from fenicsxfus_tpu.parallel.grid import GridDecomposition
     from fenicsxfus_tpu.parallel.slab import SlabDecomposition
 
     mesh, _ = _bowl_mesh((6, 6, 6))
     with pytest.raises(ValueError, match="deformed"):
         GridDecomposition(mesh, 3, (2,), jnp.float64)
-    with pytest.raises(ValueError, match="deformed"):
+    # blend_layers > nxl = 3 here: the band spans both slabs
+    with pytest.raises(ValueError, match="blend"):
         SlabDecomposition(mesh, 3, 2, jnp.float64)
+
+
+def _bowl_mesh_shallow(n=(16, 7, 7)):
+    """A bowl whose blend band fits inside device 0's slab at ndev=4."""
+    mesh, focus = create_bowl_box(
+        n, (0, 0, 0), (1.0, 0.9, 0.9), 0.9, 0.25, blend=0.08,
+        lateral_hold=0.08,
+    )
+    return mesh, focus
+
+
+@pytest.mark.parametrize("kind", ["linear", "westervelt"])
+def test_hybrid_sharded_slab_matches_single_device(kind):
+    """Bowl meshes shard through the FAST slab path: the lattice kernel
+    runs on every device and the band correction rides the sharded consts
+    (real tables on device 0, zeros elsewhere — an exact no-op there).
+    Sharded == single-device hybrid to fp64 roundoff, including the halo
+    exchange across the band/uniform seam."""
+    from fenicsxfus_tpu.parallel.slab import ShardedExplicitSolver
+
+    mesh, _ = _bowl_mesh_shallow()
+    nc = mesh.num_cells
+    rng = np.random.default_rng(5)
+    c0 = rng.uniform(0.9, 1.1, nc)
+    rho0 = rng.uniform(0.9, 1.1, nc)
+    f0 = 1.0 / 0.3
+    dt = 0.3 * mesh.h_min() / 9
+
+    def make():
+        if kind == "linear":
+            m = fus.LinearSpectralExplicit(
+                mesh, None, 3, c0, rho0, f0, 1.0, 1.0, 4, dt,
+                dtype=jnp.float64,
+            )
+        else:
+            m = fus.WesterveltSpectralExplicit(
+                mesh, None, 3, c0, rho0, 4e-3, 3.5, f0, 1.0, 1.0, 4, dt,
+                dtype=jnp.float64,
+            )
+        m.init()
+        assert m.ops.hybrid is not None
+        return m
+
+    t_end = 20 * dt
+    m_ref = make()
+    u_ref, v_ref, _ = m_ref.rk(0.0, t_end)
+
+    sh = ShardedExplicitSolver(make(), ndev=4)
+    assert sh.dec.ops.hybrid is not None
+    u_sh, v_sh, _ = sh.rk(0.0, t_end)
+
+    for a, b in [(u_sh, u_ref), (v_sh, v_ref)]:
+        scale = max(float(np.max(np.abs(np.asarray(b)))), 1e-300)
+        err = float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) / scale
+        assert err < 1e-11, err
+
+
+def test_hybrid_sharded_implicit_matches_single_device():
+    """The SDIRK path shards hybrid meshes through the same consts
+    plumbing: the CG operator's stiffness action carries the per-device
+    band correction; the Jacobi diagonal (assembled globally with the
+    band correction) slices per slab."""
+    from fenicsxfus_tpu.parallel.slab import ShardedImplicitSolver
+
+    mesh, _ = _bowl_mesh_shallow()
+    f0 = 1.0 / 0.3
+    dt = 0.6 * mesh.h_min() / 9
+
+    def make():
+        m = fus.LinearSpectralImplicit(
+            mesh, None, 3, 1.0, 1.0, f0, 1.0, 1.0, 2, dt, dtype=jnp.float64
+        )
+        m.init()
+        assert m.ops.hybrid is not None
+        return m
+
+    t_end = 10 * dt
+    u_ref, v_ref, _ = make().dirk(0.0, t_end)
+    u_sh, v_sh, _ = ShardedImplicitSolver(make(), ndev=4).dirk(0.0, t_end)
+    scale = max(float(np.max(np.abs(np.asarray(u_ref)))), 1e-300)
+    err = float(np.max(np.abs(np.asarray(u_sh) - np.asarray(u_ref)))) / scale
+    assert err < 1e-10, err
 
 
 def test_sensor_indices_on_bowl_mesh():
