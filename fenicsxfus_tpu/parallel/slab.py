@@ -47,6 +47,25 @@ from ..ops.operators import SEMOperators
 AXIS = "x"
 
 
+def _check_sensors_outside_band(dec, pts):
+    """Closed-form sensor location assumes uniform node coordinates; on a
+    hybrid (bowl-deformed) decomposition they are deformed inside the
+    blend band — a sensor there would be silently displaced. Reject
+    loudly (production bowl sensors sit on the axis beyond the band, or
+    record single-device where sensor_indices refines in-band)."""
+    hyb = getattr(getattr(dec, "ops", None), "hybrid", None)
+    if hyb is None:
+        return
+    band_x = dec.lo[0] + hyb["bx"] * dec.hx
+    if np.any(pts[0] < band_x - 1e-12):
+        raise ValueError(
+            f"sharded hybrid recording: sensor(s) at x < {band_x:.6g} "
+            "fall inside the deformed blend band, where the "
+            "uniform-lattice snap is wrong; move them beyond the band "
+            "or record on a single device"
+        )
+
+
 def lattice_interp_nodes(dec, points):
     """Closed-form interpolating sensor tables on the uniform lattice of a
     slab/grid decomposition: global GLL node coords [dim, n, K] of each
@@ -58,6 +77,7 @@ def lattice_interp_nodes(dec, points):
     from ..core.gll import lagrange_eval_gll
 
     pts = np.asarray(points, np.float64)
+    _check_sensors_outside_band(dec, pts)
     p = dec.degree
     d = len(dec.grid)
     n = pts.shape[1]
@@ -303,6 +323,7 @@ class SlabDecomposition:
         from ..core.gll import gll_points_weights_01
 
         pts = np.asarray(points, np.float64)
+        _check_sensors_outside_band(self, pts)
         p = self.degree
         gll, _ = gll_points_weights_01(p + 1)
         d = len(self.grid)

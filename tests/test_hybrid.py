@@ -218,6 +218,36 @@ def test_hybrid_sharded_slab_matches_single_device(kind):
         assert err < 1e-11, err
 
 
+def test_hybrid_sharded_recording():
+    """Sharded hybrid in-scan recording: beyond-band sensors match the
+    single-device series; in-band sensors are rejected loudly (the
+    uniform-lattice snap would silently displace them)."""
+    from fenicsxfus_tpu.parallel.slab import ShardedExplicitSolver
+
+    mesh, _ = _bowl_mesh_shallow()
+    f0 = 1.0 / 0.3
+    dt = 0.3 * mesh.h_min() / 9
+
+    def make():
+        m = fus.LinearSpectralExplicit(
+            mesh, None, 3, 1.0, 1.0, f0, 1.0, 1.0, 4, dt, dtype=jnp.float64
+        )
+        m.init()
+        return m
+
+    xs = np.linspace(0.4, 0.9, 4)
+    pts = np.stack([xs, np.full_like(xs, 0.45), np.full_like(xs, 0.45)])
+    t_end = 15 * dt
+    *_, t1, y1 = make().rk_record(0.0, t_end, pts)
+    sh = ShardedExplicitSolver(make(), ndev=4)
+    *_, t2, y2 = sh.rk_record(0.0, t_end, pts)
+    assert np.allclose(y1, y2, atol=1e-11 * max(1e-300, np.max(np.abs(y1))))
+
+    bad = np.stack([[0.02], [0.45], [0.45]])
+    with pytest.raises(ValueError, match="blend band"):
+        sh.rk_record(t_end, t_end + 2 * dt, bad)
+
+
 def test_hybrid_sharded_implicit_matches_single_device():
     """The SDIRK path shards hybrid meshes through the same consts
     plumbing: the CG operator's stiffness action carries the per-device
