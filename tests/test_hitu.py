@@ -188,6 +188,16 @@ def test_full_scale_and_bowlmesh_artifacts():
     assert abs(xb[int(ab.argmax())] - xf[int(af.argmax())]) < 2e-3
     assert abs(ab.max() - af.max()) / af.max() < 0.15
 
+    # FUSED-hybrid production rerun (93cca74): same mesh, same dt, the
+    # stage fused into one pallas call — physics must match the unfused
+    # artifact essentially exactly (fp32 scheduling differences only)
+    f_fused = os.path.join(res, "w_h101_water_bowlmesh_fused.npz")
+    if os.path.exists(f_fused):
+        dfu = np.load(f_fused, allow_pickle=True)
+        au = np.asarray(dfu["amplitude"])
+        assert int(au.argmax()) == int(ab.argmax())
+        assert abs(au.max() - ab.max()) / ab.max() < 1e-2
+
 
 def test_bowlmesh_cpu_convergence_artifacts():
     """Committed CPU h-convergence series of the bowl-FITTED mesh vs O'Neil
