@@ -52,8 +52,18 @@ def _mode() -> str:
         trading 128/w-times the gather traffic for full-width rows wins
         whenever w < 128. Same math, bit-identical results.
 
-    Default stays v1 until the on-chip A/B lands."""
-    return os.environ.get("FUS_BLOCKED", "v1")
+    On-chip A/B (v5e, distorted 21952-cell box, p=4, 1.44M DOF; two
+    independent runs each, ``benchmarks/unstructured_timings_v5e.txt``):
+    total apply v1 7.64/8.33 ms, v2 7.40/7.55 ms, v3 17.89/18.01 ms —
+    v2 is the consistent winner (the transpose-gather scatter removes the
+    serialized ``.at[].add`` passes; v3's 8-16x gather-traffic inflation
+    costs more than the wide rows save at w=20-25). Default is v2.
+
+    One further data point: v3 + ``FUS_V3_EXTRACT=dot`` (one-hot-matmul
+    super-row extraction) measured 6.10 ms total in a single run — the
+    fastest of the session — but with only one measurement vs v2's two
+    consistent runs it stays opt-in until replicated."""
+    return os.environ.get("FUS_BLOCKED", "v2")
 
 
 def _incidence(ids: np.ndarray, n_entities: int) -> np.ndarray:
