@@ -223,3 +223,33 @@ def test_bowlmesh_cpu_convergence_artifacts():
     assert all(a > b for a, b in zip(gains, gains[1:])), gains
     assert all(a > b for a, b in zip(l2s, l2s[1:])), l2s
     assert min(gains) < 0.03
+
+
+def test_bowlmesh_chip_oneil_artifacts():
+    """Committed TPU chip validations of the bowl-FITTED mesh vs O'Neil at
+    near-production resolution (nx=64, 5.7M DOF, 2.26 elems/lambda; H101
+    at its production 0.35 MHz): the VERDICT-r2 <3% focal-gain gate must
+    hold ON CHIP, with sub-wavelength focal position error. Counterpart
+    of the reference's on-node bowl runs
+    (cpp/fenicsx-sf-fastor/benchmarks/HITU/W-H131-WATER/main.cpp:33-52)."""
+    import json
+
+    res = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "hitu", "results")
+    found = 0
+    for tx, f0 in (("h101", 0.35e6), ("h131", 0.45e6)):
+        f = os.path.join(res, f"oneil_bowlmesh_{tx}_nx64.npz")
+        if not os.path.exists(f):
+            continue
+        found += 1
+        d = np.load(f)
+        m = json.loads(str(d["meta"]))
+        assert m["platform"] == "tpu", m
+        assert m["f0"] == f0 and m["mesh"] == "bowl-fitted", m
+        assert m["gain_err"] < 0.03, m
+        assert m["profile_err"] < 0.05, m
+        # lambda = c0/f0 ~ 4.2 mm at 0.35 MHz; position within half that
+        lam_mm = 1482.0 / f0 * 1e3
+        assert m["pos_err_mm"] < 0.5 * lam_mm, m
+    if not found:
+        pytest.skip("chip bowl O'Neil artifacts not committed yet")
