@@ -403,6 +403,22 @@ class ExplicitModelBase(SpectralModelBase):
             from ..ops.pallas_stage_v3 import FusedRKStageV3
 
             stage_cls = FusedRKStageV3
+        # wavefront step (ONE kernel per RK4 step, ops/pallas_step_wave.py):
+        # opt-in via FUS_STEP_WAVE=1 pending on-chip validation. Four-stage
+        # tables and non-hybrid meshes only; falls back to v3 otherwise.
+        if (
+            stage_cls is not FusedRKStage
+            and hyb is None
+            and self.rk_order == 4
+            and os.environ.get("FUS_STEP_WAVE", "") == "1"
+        ):
+            from ..ops.pallas_step_wave import FusedRKStepWave
+
+            wave = FusedRKStepWave(
+                pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
+            )
+            if wave.usable():
+                stage_cls = FusedRKStepWave
         stage = stage_cls(
             pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
         )
