@@ -75,7 +75,13 @@ def _wave_vmem_bytes(gdims, be, p, nde, nf, hetero_any, itemsize=4):
 
 
 def _wave_pick_be(pk, nde, nf, hetero_any, budget=100 << 20):
+    import os
+
     n0 = pk.grid[0]
+    forced = os.environ.get("FUS_WAVE_BE", "")
+    if forced:
+        be = int(forced)
+        return be if n0 % be == 0 else None
     for be in (4, 2, 1):
         if n0 % be:
             continue
