@@ -178,20 +178,34 @@ def main():
         _log("warmup dispatched; forcing readback")
         _ = float(jnp.sum(uw))
     except Exception as e:
-        # the fused stage kernel compiles here (a different program from the
-        # self-checked bare apply) — fall back to the XLA scan on failure
-        _log(f"fused-stage warmup raised {type(e).__name__}: {e}; XLA fallback")
-        os.environ["FUS_PALLAS"] = "0"
-        model = LinearSpectralExplicit(
-            mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
-        )
-        model.init()
-        model._build()
-        solve = model._solve
-        consts = model.consts
-        u, v = model.u_n, model.v_n
-        uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
-        _ = float(jnp.sum(uw))
+        # the fused stage/step kernel compiles here (a different program from
+        # the self-checked bare apply) — degrade one rung at a time: first
+        # drop the opt-in wavefront step back to the v3 per-stage kernels,
+        # then (only if that also fails) fall back to the XLA scan.
+        _log(f"fused warmup raised {type(e).__name__}: {e}")
+        ladder = []
+        if os.environ.get("FUS_STEP_WAVE", "") == "1":
+            ladder.append(("FUS_STEP_WAVE", "0", "v3 per-stage fallback"))
+        ladder.append(("FUS_PALLAS", "0", "XLA fallback"))
+        for var, val, label in ladder:
+            _log(label)
+            os.environ[var] = val
+            model = LinearSpectralExplicit(
+                mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
+            )
+            model.init()
+            model._build()
+            solve = model._solve
+            consts = model.consts
+            u, v = model.u_n, model.v_n
+            try:
+                uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
+                _ = float(jnp.sum(uw))
+                break
+            except Exception as e2:
+                _log(f"{label} warmup raised {type(e2).__name__}: {e2}")
+        else:
+            raise
     _log("warmup complete")
 
     t0 = time.perf_counter()
