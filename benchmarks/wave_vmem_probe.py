@@ -41,6 +41,7 @@ def main(nx, be_forced):
         FusedRKStepWave,
         _wave_pick_be,
         _wave_vmem_bytes,
+        try_separate_field,
     )
 
     c0, rho0, f0, p0 = 1500.0, 1000.0, 0.5e6, 60000.0
@@ -65,11 +66,26 @@ def main(nx, be_forced):
         [model.consts[k + "__pf"] for k in KIND_FACET[kind]],
     )
     wave = FusedRKStepWave(pk, kind, hetero, explicit_tables(4), jnp.float32)
+    import numpy as _np
+
+    sep = try_separate_field(_np.asarray(model.consts["inv_m"]), pk.gdims)
+    if sep is not None:
+        wave.sep_invm = True
+        extras = (
+            [
+                jnp.asarray(sep[0], jnp.float32),
+                jnp.asarray(sep[1], jnp.float32),
+            ],
+            extras[1],
+        )
     nde, nf = len(KIND_DENSE[kind]), len(Fs)
-    be = _wave_pick_be(pk, nde, nf, any(hetero))
-    est = _wave_vmem_bytes(pk.gdims, be or 1, pk.p, nde, nf, any(hetero))
+    be = _wave_pick_be(pk, nde, nf, any(hetero), wave.sep_invm)
+    est = _wave_vmem_bytes(
+        pk.gdims, be or 1, pk.p, nde, nf, any(hetero), wave.sep_invm
+    )
     log(
-        f"gdims={pk.gdims} picked be={be} model-estimate={est/2**20:.1f} MiB"
+        f"gdims={pk.gdims} sep={wave.sep_invm} picked be={be} "
+        f"model-estimate={est/2**20:.1f} MiB"
     )
     if be is None:
         log("picker says no block size fits; forcing be=1 for the probe")

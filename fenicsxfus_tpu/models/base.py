@@ -406,27 +406,53 @@ class ExplicitModelBase(SpectralModelBase):
         # wavefront step (ONE kernel per RK4 step, ops/pallas_step_wave.py):
         # opt-in via FUS_STEP_WAVE=1 pending on-chip validation. Four-stage
         # tables and non-hybrid meshes only; falls back to v3 otherwise.
+        sep_invm = False
         if (
             stage_cls is not FusedRKStage
             and hyb is None
             and self.rk_order == 4
             and os.environ.get("FUS_STEP_WAVE", "") == "1"
         ):
-            from ..ops.pallas_step_wave import FusedRKStepWave
+            from ..ops.pallas_step_wave import (
+                FusedRKStepWave,
+                try_separate_field,
+            )
 
             wave = FusedRKStepWave(
                 pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
             )
+            # inv_m is rank-1 (1D GLL mass products) on uniform homogeneous
+            # lattices — pass it as (row-scale, plane) so the wave kernel
+            # skips its dense ring+window (the VMEM that decides 417^3 fit)
+            if dense_keys == ("inv_m",):
+                sep = try_separate_field(
+                    np.asarray(self.consts["inv_m"]), pk.gdims
+                )
+                if sep is not None:
+                    self.consts["inv_m__sep0"] = jnp.asarray(
+                        sep[0], self.dtype
+                    )
+                    self.consts["inv_m__sepP"] = jnp.asarray(
+                        sep[1], self.dtype
+                    )
+                    wave.sep_invm = sep_invm = True
             if wave.usable():
                 stage_cls = FusedRKStepWave
         stage = stage_cls(
             pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
         )
+        from ..ops.pallas_step_wave import FusedRKStepWave as _Wave
+
+        if isinstance(stage, _Wave) and sep_invm:
+            stage.sep_invm = True
+            dense_get = lambda c: [c["inv_m__sep0"], c["inv_m__sepP"]]  # noqa: E731
+        else:
+            dense_get = lambda c: [c[k] for k in dense_keys]  # noqa: E731
         if hyb is None:
             return stage.make_step(
                 lambda c: [c[k] for k in keys],
                 lambda c: (
-                    [c[k] for k in dense_keys],
+                    dense_get(c),
                     [c[k + "__pf"] for k in facet_keys],
                 ),
             )

@@ -58,23 +58,51 @@ _DEPTH_STATE = 4
 _DEPTH_KV = (4, 3, 2)
 
 
-def _wave_vmem_bytes(gdims, be, p, nde, nf, hetero_any, itemsize=4):
-    """Upper estimate of the kernel's VMEM footprint at block size ``be``."""
+# Mosaic's register-allocator spill slots for the 4-stage fori body,
+# measured on v5e at the 417^3 headline shape (benchmarks/wave_vmem_probe.py:
+# 18.05 MiB reported as "register allocator spill slots"). Treated as a
+# shape-independent constant plus a strip/temporary allowance.
+_SPILL_BYTES = 19 << 20
+_STRIP_BYTES = 4 << 20
+# the one-kernel-per-step program IS the whole device launch — let it use
+# essentially all of VMEM (v5e capacity 128 MiB)
+_WAVE_VMEM_LIMIT = 127 * 1024 * 1024
+
+
+def _pad_plane(G1, G2, itemsize=4):
+    """One (G1, G2) fp32 plane as stored in VMEM: (8, 128) tile padding.
+    At the 417^3 headline, 417x417 pads to 424x512 — a 1.25x tax that the
+    raw-size model of round 3 missed (probe: 140.8 MiB real vs 92.9
+    estimated)."""
+    return -(-G1 // 8) * 8 * -(-G2 // 128) * 128 * itemsize
+
+
+def _wave_vmem_bytes(gdims, be, p, nde, nf, hetero_any, sep=False, itemsize=4):
+    """Estimate of the kernel's real VMEM footprint at block size ``be``,
+    calibrated against the v5e compile report at 417^3/be=1 (140.8 MiB
+    actual vs 140.2 modeled). ``sep`` = inv_m passed as a separable
+    (row-scale, plane) pair instead of a dense field."""
     G0, G1, G2 = gdims
-    plane = G1 * G2 * itemsize
-    block = be * p * plane
-    rings = (2 * _DEPTH_STATE + sum(_DEPTH_KV) + nde * _DEPTH_STATE) * block
-    # double-buffered: u0/v0 in, u1/v1 out, 2 strided boundary planes
-    operands = (2 + 2) * 2 * block + 2 * 2 * plane
-    # geometry + facet operands: hetero F tensors are ~1/p of a field per
-    # stage copy; homogeneous ones are strips
-    geom = (4 * nf * 2 * (be * plane) if hetero_any else 4 * nf * 2 * plane)
-    carry = 4 * plane
-    temps = 8 * plane  # axis matmul temporaries per plane
-    return rings + operands + geom + carry + temps
+    pp = _pad_plane(G1, G2, itemsize)
+    bep = be * p
+    nde_eff = 0 if sep else nde
+    rings = (
+        (2 * _DEPTH_STATE + sum(_DEPTH_KV) + nde_eff * _DEPTH_STATE)
+        * bep
+        * pp
+    )
+    carry = 4 * pp
+    # double-buffered windows: u0/v0 in + u1/v1 out, 2 strided boundary
+    # planes, stiffness F0 (hetero = 4 lagged blocks), dense fields (or the
+    # constant separable plane), 2 facet xp planes
+    windows = (2 + 2) * bep * 2 * pp + 2 * 2 * pp
+    windows += 4 * nf * 2 * (be * pp) if hetero_any else nf * 2 * pp
+    windows += (2 * pp) if sep else nde * bep * 2 * pp
+    windows += 2 * 2 * 2 * pp
+    return rings + carry + windows + _STRIP_BYTES + _SPILL_BYTES
 
 
-def _wave_pick_be(pk, nde, nf, hetero_any, budget=100 << 20):
+def _wave_pick_be(pk, nde, nf, hetero_any, sep=False, budget=125 << 20):
     import os
 
     n0 = pk.grid[0]
@@ -85,9 +113,42 @@ def _wave_pick_be(pk, nde, nf, hetero_any, budget=100 << 20):
     for be in (4, 2, 1):
         if n0 % be:
             continue
-        if _wave_vmem_bytes(pk.gdims, be, pk.p, nde, nf, hetero_any) <= budget:
+        if (
+            _wave_vmem_bytes(pk.gdims, be, pk.p, nde, nf, hetero_any, sep)
+            <= budget
+        ):
             return be
     return None
+
+
+def try_separate_field(arr, gdims, tol=1e-5):
+    """Host-side rank-1 test of a lattice field: ``arr[i,j,k] ==
+    a[i] * P[j,k]``. On a uniform box with homogeneous rho the assembled
+    inverse lumped mass has exactly this tensor-product structure
+    (1D GLL weight products; reference assembles it per cell,
+    ``cpp/fenicsx-sf/common/spectral_op.hpp``), which lets the wave kernel
+    drop a 13+7 MiB dense ring+window for a 2 MiB constant plane — the
+    difference between fitting in v5e VMEM at 417^3 and not.
+
+    Returns ``(a, P)`` as float64 ndarrays (``a``: (G0,), ``P``:
+    (1, G1, G2)) or None."""
+    import numpy as np
+
+    M = np.asarray(arr, np.float64).reshape(gdims[0], -1)
+    if not np.all(np.isfinite(M)):
+        return None
+    i0 = int(np.argmax(np.abs(M).sum(axis=1)))
+    P = M[i0]
+    scale = float(P[int(np.argmax(np.abs(P)))])
+    if scale == 0.0:
+        return None
+    P = P / scale
+    denom = P @ P
+    a = (M @ P) / denom
+    err = float(np.max(np.abs(M - np.outer(a, P))))
+    if err > tol * float(np.max(np.abs(M))):
+        return None
+    return a, P.reshape(1, gdims[1], gdims[2])
 
 
 class FusedRKStepWave(FusedRKStageV3):
@@ -95,12 +156,18 @@ class FusedRKStepWave(FusedRKStageV3):
     v3 stage's packing/table layout; only ``make_step`` and the kernel
     construction differ."""
 
+    #: inv_m arrives as a separable (row-scale, plane) pair instead of a
+    #: dense field (set by the model builder after try_separate_field)
+    sep_invm = False
+
     def usable(self) -> bool:
         if self.nstage != 4:
             return False
         nde = len(KIND_DENSE[self.kind])
         return (
-            _wave_pick_be(self.pk, nde, self.nf, any(self.hetero))
+            _wave_pick_be(
+                self.pk, nde, self.nf, any(self.hetero), self.sep_invm
+            )
             is not None
         )
 
@@ -127,8 +194,10 @@ class FusedRKStepWave(FusedRKStageV3):
         nfa = len(KIND_FACET[kind])
         dense, facets = extras
         gd = pk.gdims
+        sep = self.sep_invm
+        nde_k = 0 if sep else nde  # dense fields carried as rings
 
-        be = _wave_pick_be(pk, nde, nf, any(hetero))
+        be = _wave_pick_be(pk, nde, nf, any(hetero), sep)
         assert be is not None, "wave step: VMEM budget exceeded"
         bep = be * p
         B = n0 // be  # tail position index; block positions 0..B-1 full
@@ -139,7 +208,10 @@ class FusedRKStepWave(FusedRKStageV3):
         v0 = v0.reshape(gd)
         u0b = u0[::bep]
         v0b = v0[::bep]
-        dense = [e.reshape(gd) for e in dense]
+        if sep:
+            sep0, sepP = dense  # (G0,) row scales + (1, G1, G2) plane
+        else:
+            dense = [e.reshape(gd) for e in dense]
 
         # per-stage state roles: which kv rings feed kvp/kvpp
         #   s=0: (u0, v0); s=1: +kv0; s=2: +kv1, kv0; s=3: +kv2, kv1
@@ -164,7 +236,11 @@ class FusedRKStepWave(FusedRKStageV3):
             F2s = [[refs[i + s * nf + f] for f in range(nf)] for s in range(S)]
             i += S * nf
             bks = {bk_keys[j]: refs[i + j][:, :] for j in range(nbk)}; i += nbk
-            dense_r = [refs[i + j] for j in range(nde)]; i += nde
+            if sep:
+                sepP_r = refs[i]; sep0_r = refs[i + 1]; i += 2
+                dense_r = []
+            else:
+                dense_r = [refs[i + j] for j in range(nde)]; i += nde
             fv = []  # per facet field: (xp, [ye_s0..3], [ze_s0..3])
             for _j in range(nfa):
                 xp = refs[i]; i += 1
@@ -175,7 +251,7 @@ class FusedRKStepWave(FusedRKStageV3):
             # scratch
             ring_u = refs[i]; ring_v = refs[i + 1]; i += 2
             ring_kv = [refs[i + j] for j in range(3)]; i += 3
-            ring_de = [refs[i + j] for j in range(nde)]; i += nde
+            ring_de = [refs[i + j] for j in range(nde_k)]; i += nde_k
             carry = refs[i]
 
             def rem(a, d):
@@ -211,7 +287,7 @@ class FusedRKStepWave(FusedRKStageV3):
                 slot = rem(b, _DEPTH_STATE) * bep
                 ring_u[pl.ds(slot, bep)] = u0_r[:, :, :]
                 ring_v[pl.ds(slot, bep)] = v0_r[:, :, :]
-                for j in range(nde):
+                for j in range(nde_k):
                     ring_de[j][pl.ds(slot, bep)] = dense_r[j][:, :, :]
 
             # ---- the four lagged stages, in order
@@ -276,10 +352,15 @@ class FusedRKStepWave(FusedRKStageV3):
                         for (xp, yes, zes) in fv
                     ]
                     corr = _facet_corrections(fvals, coefs, vn_r, g0, G0)
-                    dvals = [
-                        ring_row(ring_de[j], _DEPTH_STATE, q, r)
-                        for j in range(nde)
-                    ]
+                    if sep:
+                        # inv_m[g0, :, :] == sep0[g0] * sepP — one SMEM
+                        # scalar + the VMEM-resident constant plane
+                        dvals = [sep0_r[g0] * sepP_r[0, :, :]]
+                    else:
+                        dvals = [
+                            ring_row(ring_de[j], _DEPTH_STATE, q, r)
+                            for j in range(nde)
+                        ]
                     kv = _epilogue(kind, acc, un_r, vn_r, dvals, corr)
                     if not final:
                         st(
@@ -469,9 +550,24 @@ class FusedRKStepWave(FusedRKStageV3):
             specs.append(
                 pl.BlockSpec(bk.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
             )
-        for e in dense:
-            args.append(e)
-            specs.append(blk_at(0))
+        if sep:
+            args.append(sepP)
+            specs.append(
+                pl.BlockSpec(
+                    (1, G1, G2), lambda b: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(sep0)
+            specs.append(
+                pl.BlockSpec(
+                    (G0,), lambda b: (0,), memory_space=pltpu.SMEM
+                )
+            )
+        else:
+            for e in dense:
+                args.append(e)
+                specs.append(blk_at(0))
         for fp in facets:
             args.append(fp["xp"])
             specs.append(
@@ -508,7 +604,7 @@ class FusedRKStepWave(FusedRKStageV3):
                 pltpu.VMEM((_DEPTH_KV[j] * bep, G1, G2), dtype)
                 for j in range(3)
             ]
-            + [pltpu.VMEM((_DEPTH_STATE * bep, G1, G2), dtype)] * nde
+            + [pltpu.VMEM((_DEPTH_STATE * bep, G1, G2), dtype)] * nde_k
             + [pltpu.VMEM((S, G1, G2), dtype)]
         )
         return pl.pallas_call(
@@ -524,7 +620,7 @@ class FusedRKStepWave(FusedRKStageV3):
             if pk.interpret
             else pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=_VMEM_LIMIT,
+                vmem_limit_bytes=_WAVE_VMEM_LIMIT,
             ),
         )(*args)
 
