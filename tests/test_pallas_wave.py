@@ -108,3 +108,29 @@ def test_wave_step_non_rk4_falls_back(monkeypatch):
     monkeypatch.setattr(FusedRKStepWave, "_step_call", boom)
     u, v, t = m.rk(0.0, 3e-8)
     assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_separate_field_dtype_scaled_tol():
+    """try_separate_field accepts dtype-quantized rank-1 fields and rejects
+    physical perturbations >>100 ulp (ADVICE r3: tol must not silently admit
+    near-separable fields; but the assembled inv_m is stored in the MODEL
+    dtype, so the bound has to scale with that dtype's eps, not float64's)."""
+    from fenicsxfus_tpu.ops.pallas_step_wave import try_separate_field
+
+    rng = np.random.default_rng(7)
+    a = rng.random(17) + 1.0
+    P = rng.random((9, 9)) + 1.0
+    M64 = a[:, None, None] * P[None]
+    M32 = M64.astype(np.float32)
+    assert try_separate_field(M32, (17, 9, 9)) is not None
+    assert try_separate_field(M64, (17, 9, 9)) is not None
+    pert32 = M32 * (1.0 + 1e-4 * rng.standard_normal(M32.shape)).astype(
+        np.float32
+    )
+    assert try_separate_field(pert32, (17, 9, 9)) is None
+    pert64 = M64 * (1.0 + 1e-10 * rng.standard_normal(M64.shape))
+    assert try_separate_field(pert64, (17, 9, 9)) is None
+    # reconstruction: sep0 x sepP reproduces the field to dtype roundoff
+    sep = try_separate_field(M32, (17, 9, 9))
+    rec = sep[0][:, None, None] * sep[1]
+    assert np.max(np.abs(rec - M64) / np.max(M64)) < 1e-5
