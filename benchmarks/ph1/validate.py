@@ -37,9 +37,11 @@ sys.path.insert(
 
 from benchmarks.ph1 import common  # noqa: E402
 from benchmarks.ph1.common import (  # noqa: E402
+    BM_BACKGROUND,
     BM_LAYERS,
     F0,
     MATERIALS,
+    P0,
     W0,
     axial_points,
     build_model,
@@ -160,6 +162,120 @@ def transmission_check(sc, bm, x, amp, x_ref, amp_ref, tol=0.35):
             "tol": tol, "pass": bool(rel < tol)}
 
 
+def _complex_axial_amplitude(z, sc, alpha_np):
+    """On-axis steady amplitude of the SC1 piston / SC2 bowl in a medium
+    with attenuation ``alpha_np`` (Np/m), from the exact two-ray form of
+    the Rayleigh/O'Neil solutions with complex wavenumber: each of the
+    axial (path z) and edge (path r_e) contributions carries its own
+    exp(-alpha * path):
+
+        SC1:  |p| = p0 |e^{i k̃ z} - e^{i k̃ R}|,  R = sqrt(z^2 + a^2)
+        SC2:  |p| = p0 |e^{i k̃ z} - e^{i k̃ r_e}| / |1 - z/roc|
+
+    At alpha=0 these reduce exactly to ``piston_axial_amplitude`` /
+    ``oneil_axial_amplitude`` (the PH1 water ground truth — the Aubry
+    et al. intercomparison itself scores the water benchmarks against
+    these closed forms; the published per-model tables are not reachable
+    offline, so these ARE the literature reference values for BM1/BM2).
+
+    ``z`` is the DOMAIN coordinate (source plane at z=0). For SC2 the
+    simulated source is the bowl's rim-plane phased equivalent, so the
+    O'Neil apex coordinate is z + h (h = bowl depth) — the same shift the
+    committed-artifact gate uses (``tests/test_ph1.py``)."""
+    z = np.asarray(z, np.float64)
+    cw = MATERIALS["water"][0]
+    kt = W0 / cw + 1j * alpha_np
+    if sc == 1:
+        a = common.SC1_RADIUS
+        R = np.sqrt(z * z + a * a)
+        return P0 * np.abs(np.exp(1j * kt * z) - np.exp(1j * kt * R))
+    a, roc = common.SC2_APERTURE, common.SC2_ROC
+    h = roc - np.sqrt(roc * roc - a * a)
+    zo = z + h  # O'Neil apex coordinate
+    # the removable singularity at the geometric focus (r_e -> zo there):
+    # evaluate at roc - eps like ``oneil_axial_amplitude``
+    eps = 1e-6 * roc
+    zo = np.where(np.abs(1.0 - zo / roc) < 1e-7, roc - eps, zo)
+    r_e = np.sqrt((zo - h) ** 2 + a * a)
+    denom = np.abs(1.0 - zo / roc)
+    return P0 * np.abs(np.exp(1j * kt * zo) - np.exp(1j * kt * r_e)) / denom
+
+
+def focal_metrics(x, amp, lo=0.005):
+    """(focal pressure Pa, focal position m, -6 dB axial extent m) from an
+    axial amplitude profile. Peak position refined with a 3-point parabola;
+    -6 dB crossings linearly interpolated around the peak (the standard
+    intercomparison focal metrics: maximum pressure, its position, and the
+    axial full length at half the maximum)."""
+    x = np.asarray(x, np.float64)
+    amp = np.asarray(amp, np.float64)
+    sel = x >= lo
+    xs, As = x[sel], amp[sel]
+    i = int(np.argmax(As))
+    pk, xpk = float(As[i]), float(xs[i])
+    if 0 < i < len(xs) - 1:
+        y0, y1, y2 = As[i - 1], As[i], As[i + 1]
+        d = y0 - 2 * y1 + y2
+        if d < 0:
+            off = 0.5 * (y0 - y2) / d
+            xpk = float(xs[i] + off * (xs[min(i + 1, len(xs) - 1)] - xs[i]))
+            pk = float(y1 - 0.25 * (y0 - y2) * off)
+    half = 0.5 * pk  # -6 dB in pressure amplitude
+    jlo = i
+    while jlo > 0 and As[jlo] > half:
+        jlo -= 1
+    jhi = i
+    while jhi < len(As) - 1 and As[jhi] > half:
+        jhi += 1
+    def _cross(j0, j1):
+        a0, a1 = As[j0], As[j1]
+        if a1 == a0:
+            return xs[j0]
+        t = (half - a0) / (a1 - a0)
+        return xs[j0] + t * (xs[j1] - xs[j0])
+    x_lo = _cross(jlo, jlo + 1) if As[jlo] <= half else float(xs[0])
+    x_hi = _cross(jhi - 1, jhi) if As[jhi] <= half else float(xs[-1])
+    return pk, xpk, float(x_hi - x_lo)
+
+
+def focal_reference(sc, bm):
+    """Closed-form focal metrics for the water benchmarks (BM1 exact, BM2
+    exact two-ray with attenuation). None for the skull cases — their
+    published intercomparison tables are not reachable offline; they are
+    gated by the 1D transmission model instead."""
+    if bm not in (1, 2):
+        return None
+    att_dB = MATERIALS[BM_BACKGROUND[bm]][2]
+    alpha = att_dB / 20.0 * np.log(10.0)
+    z = np.linspace(0.0, common.DOMAIN_L, 48001)
+    amp = _complex_axial_amplitude(z, sc, alpha)
+    pk, xpk, ext = focal_metrics(z, amp)
+    return {"focal_p": pk, "focal_x": xpk, "ext6": ext}
+
+
+def focal_comparison(sc, bm, x, amp):
+    """Measured-vs-reference focal metric deltas for a water benchmark."""
+    ref = focal_reference(sc, bm)
+    if ref is None:
+        return None
+    pk, xpk, ext = focal_metrics(x, amp)
+    out = {
+        "measured": {"focal_p": pk, "focal_x": xpk, "ext6": ext},
+        "reference": ref,
+        "dp_rel": float(abs(pk - ref["focal_p"]) / ref["focal_p"]),
+        "dx_mm": float(abs(xpk - ref["focal_x"]) * 1e3),
+        "dext_rel": float(abs(ext - ref["ext6"]) / ref["ext6"]),
+    }
+    print(
+        f"  focal SC{sc}-BM{bm}: P {pk/1e3:.1f} kPa (ref "
+        f"{ref['focal_p']/1e3:.1f}, {out['dp_rel']*100:.2f}%)  x "
+        f"{xpk*1e3:.2f} mm (ref {ref['focal_x']*1e3:.2f}, "
+        f"d {out['dx_mm']:.2f} mm)  -6dB ext {ext*1e3:.1f} mm (ref "
+        f"{ref['ext6']*1e3:.1f}, {out['dext_rel']*100:.1f}%)"
+    )
+    return out
+
+
 def validate(sc, bm, nx, nx_fine, dtype=None, out=None):
     """Full validation stamp: convergence + stationarity + (flat-layer)
     transmission; writes/updates the metadata JSON next to the artifact."""
@@ -169,6 +285,9 @@ def validate(sc, bm, nx, nx_fine, dtype=None, out=None):
     stamp["convergence"] = convergence(sc, bm, nx, nx_fine, dtype=dtype)
     stamp["tf_stationarity"] = tf_stationarity(sc, bm, nx, dtype=dtype)
     x, amp, *_ = _run_profile(sc, bm, nx, dtype=dtype)
+    fc = focal_comparison(sc, bm, x, amp)
+    if fc is not None:
+        stamp["focal"] = fc
     tc = None
     if BM_LAYERS[bm] and not common.BM_CURVED[bm]:
         xw, ampw, *_ = _run_profile(sc, 1, nx, dtype=dtype)

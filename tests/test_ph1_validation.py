@@ -141,3 +141,66 @@ def test_transmission_check_plumbing():
     assert out["pass"] and abs(out["measured"] - t4) < 1e-12
     # water case: no stack to check
     assert transmission_check(1, 1, x, amp, x, amp_ref) is None
+
+
+def test_focal_metrics_water_vs_closed_form():
+    """Intercomparison-style focal metrics (focal pressure, focal position,
+    -6 dB axial extent) of the committed water artifacts vs the closed-form
+    axial solutions (piston / O'Neil two-ray with complex wavenumber for
+    the attenuated BM2 cases). The Aubry et al. published per-model tables
+    are unreachable offline; for the water benchmarks the closed forms ARE
+    the intercomparison's ground truth. Measured deltas at nx=80 (v5e
+    artifacts): P within 12%, position within 1.5 mm, extent within 10%."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from benchmarks.ph1.validate import focal_comparison
+
+    results = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "ph1", "results",
+    )
+    gates = {
+        # (sc, bm): (dp_rel, dx_mm, dext_rel) — current deltas + margin
+        (1, 1): (0.05, 2.0, 0.15),
+        (1, 2): (0.12, 1.5, 0.10),
+        (2, 1): (0.10, 1.5, 0.05),
+        (2, 2): (0.15, 1.5, 0.05),
+    }
+    for (sc, bm), (gp, gx, ge) in gates.items():
+        path = os.path.join(results, f"sc{sc}_bm{bm}.npz")
+        if not os.path.exists(path):
+            pytest.skip(f"artifact sc{sc}_bm{bm} missing")
+        d = np.load(path)
+        fc = focal_comparison(sc, bm, d["x"], d["amplitude"])
+        assert fc["dp_rel"] < gp, (sc, bm, fc)
+        assert fc["dx_mm"] < gx, (sc, bm, fc)
+        assert fc["dext_rel"] < ge, (sc, bm, fc)
+
+
+def test_focal_reference_consistent_with_oracles():
+    """At alpha=0 the complex two-ray forms must reduce exactly to the
+    package's piston/O'Neil oracles (incl. the removable singularity at the
+    geometric focus and the rim-plane coordinate shift)."""
+    import numpy as np
+
+    import benchmarks.ph1.common as common
+    from benchmarks.ph1.validate import _complex_axial_amplitude
+    from fenicsxfus_tpu.analysis.analytical import (
+        oneil_axial_amplitude,
+        piston_axial_amplitude,
+    )
+
+    k = 2 * np.pi * common.F0 / 1500.0
+    z = np.linspace(0.0, common.DOMAIN_L, 20001)
+    p1 = _complex_axial_amplitude(z, 1, 0.0)
+    r1 = piston_axial_amplitude(z, common.SC1_RADIUS, k, common.P0)
+    assert np.max(np.abs(p1 - r1)) < 1e-6 * np.max(r1)
+    a, roc = common.SC2_APERTURE, common.SC2_ROC
+    h = roc - np.sqrt(roc * roc - a * a)
+    p2 = _complex_axial_amplitude(z, 2, 0.0)
+    r2 = oneil_axial_amplitude(z + h, a, roc, k, common.P0)
+    ok = np.abs(1.0 - (z + h) / roc) > 1e-4  # away from the limit point
+    assert np.max(np.abs((p2 - r2)[ok])) < 1e-6 * np.max(r2)
