@@ -610,9 +610,11 @@ class ImplicitModelBase(SpectralModelBase):
         extract = getattr(self, "_rec_extract", None)
 
         @jax.jit
-        def run(consts, u, v, t0v, dts):
-            def body(carry, dtn):
-                out, stats = step(consts, carry, dtn)
+        def run(consts, u, v, t0v, xs):
+            def body(carry, x):
+                dtn, tn = x  # tn: exact host-precomputed step start time
+                u_, v_, _ = carry
+                out, stats = step(consts, (u_, v_, tn), dtn)
                 if extract is not None:
                     # one row per step: [it_max, res_max, sensors...] — the
                     # segmented runner collects a single array
@@ -620,7 +622,7 @@ class ImplicitModelBase(SpectralModelBase):
                     return out, jnp.concatenate([stats, y])
                 return out, stats
 
-            (u, v, t), ys = jax.lax.scan(body, (u, v, t0v), dts)
+            (u, v, t), ys = jax.lax.scan(body, (u, v, t0v), xs)
             return u, v, t, ys
 
         return run

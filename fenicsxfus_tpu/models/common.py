@@ -107,12 +107,33 @@ def source_window(t, freq: float, alpha: float = 4.0):
 def make_scan_from_step(step, dtype):
     """Wrap a ``step(consts, (u, v, t), dt) -> ((u, v, t'), None)`` function
     into the jitted, segmented time loop
-    ``solve(consts, u, v, t0, tf, dt) -> (u, v, t)``."""
+    ``solve(consts, u, v, t0, tf, dt) -> (u, v, t)``.
+
+    If the step declares ``carry_shape`` (the fused pallas steps do), u/v
+    are carried through the scan in that 3D lattice shape and flattened
+    once per launch: a flat [n] carry forces a physical 1D<->3D retiling
+    copy per step on TPU (different tiled layouts) — measured ~11 ms/step
+    at the 72.5M-DOF headline (benchmarks/wave_attrib.py)."""
+    carry_shape = getattr(step, "carry_shape", None)
 
     @jax.jit
-    def run(consts, u, v, t0, dts):
-        (u, v, t), _ = jax.lax.scan(partial(step, consts), (u, v, t0), dts)
-        return u, v, t
+    def run(consts, u, v, t0, xs):
+        if carry_shape is not None:
+            u = u.reshape(carry_shape)
+            v = v.reshape(carry_shape)
+
+        def body(carry, x):
+            dtn, tn = x
+            u_, v_, _ = carry
+            # the carried t is REPLACED by the host-precomputed fp64 step
+            # time each step: accumulating t in the model dtype loses
+            # ~eps·|t| per step, which over ~1e4 CW steps is an O(0.5 rad)
+            # source-phase error — the dominant fp32 long-run drift term
+            # (benchmarks/fp32_drift.py).
+            return step(consts, (u_, v_, tn), dtn)
+
+        (u, v, t), _ = jax.lax.scan(body, (u, v, t0), xs)
+        return u.reshape(-1), v.reshape(-1), t
 
     def solve(consts, u, v, t0: float, tf: float, dt: float):
         dts = np.asarray(step_sizes(t0, tf, dt))
@@ -131,15 +152,23 @@ def make_recording_scan(step, dtype, extract):
     step. ``extract`` must be TPU-cheap — see
     ``ExplicitModelBase._sensor_extractor`` (a raw per-step scalar gather
     from the full field measured 37x slower than the step itself)."""
+    carry_shape = getattr(step, "carry_shape", None)
 
     @jax.jit
-    def run(consts, u, v, t0, dts):
-        def body(carry, dtn):
-            out, _ = step(consts, carry, dtn)
+    def run(consts, u, v, t0, xs):
+        if carry_shape is not None:
+            # 3D carry: see make_scan_from_step
+            u = u.reshape(carry_shape)
+            v = v.reshape(carry_shape)
+
+        def body(carry, x):
+            dtn, tn = x
+            u_, v_, _ = carry
+            out, _ = step(consts, (u_, v_, tn), dtn)
             return out, extract(out[0])
 
-        (u, v, t), ys = jax.lax.scan(body, (u, v, t0), dts)
-        return u, v, t, ys
+        (u, v, t), ys = jax.lax.scan(body, (u, v, t0), xs)
+        return u.reshape(-1), v.reshape(-1), t, ys
 
     def solve(consts, u, v, t0, tf, dt):
         dts = np.asarray(step_sizes(t0, tf, dt))
@@ -196,16 +225,27 @@ def run_segmented(run, consts, u, v, t0, dts, dtype, collect_ys=False):
     bounds the dispatch queue. Tunable via FUS_MAX_STEPS_PER_LAUNCH.
 
     With ``collect_ys`` the runner returns a fourth output (per-step scan
-    outputs, concatenated across segments on host)."""
+    outputs, concatenated across segments on host).
+
+    The scan xs handed to ``run`` is the PAIR ``(dts, ts)`` where ``ts``
+    holds each step's START time, precomputed here in float64 — scan
+    bodies substitute ts[i] for the carried t so the source phase never
+    accumulates model-dtype rounding (the dominant fp32 long-run drift
+    term, ~0.5 rad over 7.5k steps; ``benchmarks/fp32_drift.py``)."""
     import os
 
     K = int(os.environ.get("FUS_MAX_STEPS_PER_LAUNCH", "500"))
+    dts64 = np.asarray(dts, np.float64)
+    ts64 = float(t0) + np.concatenate([[0.0], np.cumsum(dts64)[:-1]])
     t = jnp.asarray(t0, dtype)
     i = 0
     n = len(dts)
     ys_parts = []
     while i < n:
-        seg = jnp.asarray(dts[i : i + K], dtype)
+        seg = (
+            jnp.asarray(dts[i : i + K], dtype),
+            jnp.asarray(ts64[i : i + K], dtype),
+        )
         out = run(consts, u, v, t, seg)
         if collect_ys:
             u, v, t, ys = out

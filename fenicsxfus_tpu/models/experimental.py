@@ -171,9 +171,14 @@ class LinearSpectralNewmark(SpectralModelBase):
             return (u1, v1, w1, t1), None
 
         @jax.jit
-        def run(consts_unused, uvw, t0v, dts):
+        def run(consts_unused, uvw, t0v, xs):
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                u_, v_, w_, _ = carry
+                return step((u_, v_, w_, tn), dtn)
+
             u, v, w = uvw
-            (u, v, w, t), _ = jax.lax.scan(step, (u, v, w, t0v), dts)
+            (u, v, w, t), _ = jax.lax.scan(body, (u, v, w, t0v), xs)
             return (u, v, w), t
 
         from .common import run_segmented

@@ -500,7 +500,7 @@ class FusedRKStage:
                         u0, v0, kvp, kvpp, kvs[: max(0, i - 2)],
                         yA, scal, Fs, extras, final=True,
                     )
-                    out = (u1.reshape(-1), v1.reshape(-1), t + dtn)
+                    out = (u1, v1, t + dtn)
                 else:
                     kv = self.call_B(
                         u0, v0, kvp, kvpp, [], yA, scal, Fs, extras, final=False
@@ -508,4 +508,9 @@ class FusedRKStage:
                     kvs.append(kv)
             return out, None
 
+        # the scan carries u/v in the kernel's 3D lattice shape:
+        # a flat [n] carry forces a physical retiling copy per
+        # step on TPU (1D and 3D layouts differ) — measured ~11
+        # ms/step at 417^3 (benchmarks/wave_attrib.py)
+        step.carry_shape = tuple(self.pk.gdims)
         return step

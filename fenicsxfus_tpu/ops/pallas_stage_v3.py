@@ -486,7 +486,7 @@ class FusedRKStageV3(FusedRKStage):
                         u0a, v0a, kvp_a, kvpp_a, kvs[: max(0, i - 2)],
                         scal, Fs, extras, final=True, band=band,
                     )
-                    out = (u1.reshape(-1), v1.reshape(-1), t + dtn)
+                    out = (u1, v1, t + dtn)
                 else:
                     kv = self._stage_call(
                         u0a, v0a, kvp_a, kvpp_a, [], scal, Fs, extras,
@@ -495,4 +495,9 @@ class FusedRKStageV3(FusedRKStage):
                     kvs.append(kv)
             return out, None
 
+        # the scan carries u/v in the kernel's 3D lattice shape:
+        # a flat [n] carry forces a physical retiling copy per
+        # step on TPU (1D and 3D layouts differ) — measured ~11
+        # ms/step at 417^3 (benchmarks/wave_attrib.py)
+        step.carry_shape = tuple(self.pk.gdims)
         return step

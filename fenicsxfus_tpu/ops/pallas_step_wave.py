@@ -687,6 +687,8 @@ class FusedRKStepWave(FusedRKStageV3):
                 )
             scal4 = jnp.stack(rows)
             u1, v1 = self._step_call(u0, v0, scal4, Fs, extras)
-            return (u1.reshape(-1), v1.reshape(-1), t + dtn), None
+            return (u1.reshape(self.pk.gdims), v1.reshape(self.pk.gdims), t + dtn), None
 
+        # 3D carry: see pallas_stage_v3.make_step
+        step.carry_shape = tuple(self.pk.gdims)
         return step

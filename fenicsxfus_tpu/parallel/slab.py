@@ -635,12 +635,15 @@ class ShardedExplicitSolver:
         dec = self.dec
         local_step = self._local_step_fn()
 
-        def local_run(consts, u, v, t0, dts):
+        def local_run(consts, u, v, t0, xs):
             consts = _local_consts(consts)
             u, v = u[0], v[0]
-            (u, v, t), _ = jax.lax.scan(
-                partial(local_step, consts), (u, v, t0), dts
-            )
+
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                return local_step(consts, (carry[0], carry[1], tn), dtn)
+
+            (u, v, t), _ = jax.lax.scan(body, (u, v, t0), xs)
             return u[None], v[None], t
 
         shmapped = jax.shard_map(
@@ -750,15 +753,16 @@ class ShardedExplicitSolver:
         dec = self.dec
         local_step = self._local_step_fn()
 
-        def local_run(consts, tab, u, v, t0, dts):
+        def local_run(consts, tab, u, v, t0, xs):
             consts = _local_consts(consts)
             u, v, tab = u[0], v[0], tab[0]
 
-            def body(carry, dtn):
-                out, _ = local_step(consts, carry, dtn)
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                out, _ = local_step(consts, (carry[0], carry[1], tn), dtn)
                 return out, extract(out[0], tab)
 
-            (u, v, t), ys = jax.lax.scan(body, (u, v, t0), dts)
+            (u, v, t), ys = jax.lax.scan(body, (u, v, t0), xs)
             return u[None], v[None], t, ys[:, None]
 
         return jax.jit(jax.shard_map(
@@ -881,12 +885,15 @@ class ShardedImplicitSolver:
         dec = self.dec
         local_step = self._local_step_fn()
 
-        def local_run(consts, w, u, v, t0, dts):
+        def local_run(consts, w, u, v, t0, xs):
             consts = _local_consts(consts)
             u, v, w = u[0], v[0], w[0]
-            (u, v, t), stats = jax.lax.scan(
-                partial(local_step, consts, w), (u, v, t0), dts
-            )
+
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                return local_step(consts, w, (carry[0], carry[1], tn), dtn)
+
+            (u, v, t), stats = jax.lax.scan(body, (u, v, t0), xs)
             return u[None], v[None], t, stats
 
         shmapped = jax.shard_map(
@@ -903,17 +910,20 @@ class ShardedImplicitSolver:
         dec = self.dec
         local_step = self._local_step_fn()
 
-        def local_run(consts, w, tab, u, v, t0, dts):
+        def local_run(consts, w, tab, u, v, t0, xs):
             consts = _local_consts(consts)
             u, v, w, tab = u[0], v[0], w[0], tab[0]
 
-            def body(carry, dtn):
-                out, stats = local_step(consts, w, carry, dtn)
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                out, stats = local_step(
+                    consts, w, (carry[0], carry[1], tn), dtn
+                )
                 # one row per step: [CG it_max, res_max, sensor values...]
                 # (stats are psum-replicated — identical on every device)
                 return out, jnp.concatenate([stats, extract(out[0], tab)])
 
-            (u, v, t), rows = jax.lax.scan(body, (u, v, t0), dts)
+            (u, v, t), rows = jax.lax.scan(body, (u, v, t0), xs)
             return u[None], v[None], t, rows[:, None]
 
         return jax.jit(jax.shard_map(

@@ -705,14 +705,19 @@ class ShardedUnstructuredExplicitSolver:
                 v_acc = v_acc + (b[i] * dtn) * kv
             return (u_acc, v_acc, t + dtn), None
 
-        def local_run(consts, tables, u, v, t0, dts):
+        def local_run(consts, tables, u, v, t0, xs):
             consts = _local(consts)
             tables = _local(tables)
             ops = LocalUnstructuredOps(dec, tables)
             u, v = u[0], v[0]
-            (u, v, t), _ = jax.lax.scan(
-                partial(local_step, consts, ops), (u, v, t0), dts
-            )
+
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                return local_step(
+                    consts, ops, (carry[0], carry[1], tn), dtn
+                )
+
+            (u, v, t), _ = jax.lax.scan(body, (u, v, t0), xs)
             return u[None], v[None], t
 
         sharded = jax.shard_map(
@@ -831,17 +836,20 @@ class ShardedUnstructuredExplicitSolver:
                     v_acc = v_acc + (b[i] * dtn) * kv
                 return (u_acc, v_acc, t + dtn), None
 
-            def local_run(consts, tables, tabl, u, v, t0v, dts):
+            def local_run(consts, tables, tabl, u, v, t0v, xs):
                 consts = _local(consts)
                 tables = _local(tables)
                 ops = LocalUnstructuredOps(dec, tables)
                 u, v, tabl = u[0], v[0], tabl[0]
 
-                def body(carry, dtn):
-                    out, _ = local_step(consts, ops, carry, dtn)
+                def body(carry, x):
+                    dtn, tn = x  # exact host-precomputed step start time
+                    out, _ = local_step(
+                        consts, ops, (carry[0], carry[1], tn), dtn
+                    )
                     return out, extract(out[0], tabl)
 
-                (u, v, t), ys = jax.lax.scan(body, (u, v, t0v), dts)
+                (u, v, t), ys = jax.lax.scan(body, (u, v, t0v), xs)
                 return u[None], v[None], t, ys[:, None]
 
             rec = jax.jit(jax.shard_map(
@@ -937,14 +945,19 @@ class ShardedUnstructuredImplicitSolver:
         dec = self.dec
         local_step = self._local_step_fn()
 
-        def local_run(consts, tables, w, u, v, t0, dts):
+        def local_run(consts, tables, w, u, v, t0, xs):
             consts = _local(consts)
             tables = _local(tables)
             ops = LocalUnstructuredOps(dec, tables)
             u, v, w = u[0], v[0], w[0]
-            (u, v, t), stats = jax.lax.scan(
-                partial(local_step, consts, ops, w), (u, v, t0), dts
-            )
+
+            def body(carry, x):
+                dtn, tn = x  # exact host-precomputed step start time
+                return local_step(
+                    consts, ops, w, (carry[0], carry[1], tn), dtn
+                )
+
+            (u, v, t), stats = jax.lax.scan(body, (u, v, t0), xs)
             return u[None], v[None], t, stats
 
         sharded = jax.shard_map(
@@ -984,18 +997,21 @@ class ShardedUnstructuredImplicitSolver:
         run = cache.get(key)
         if run is None:
 
-            def local_run(consts, tables, w, tabl, u, v, t0v, dts):
+            def local_run(consts, tables, w, tabl, u, v, t0v, xs):
                 consts = _local(consts)
                 tables = _local(tables)
                 ops = LocalUnstructuredOps(dec, tables)
                 u, v, w, tabl = u[0], v[0], w[0], tabl[0]
 
-                def body(carry, dtn):
-                    out, stats = local_step(consts, ops, w, carry, dtn)
+                def body(carry, x):
+                    dtn, tn = x  # exact host-precomputed step start time
+                    out, stats = local_step(
+                        consts, ops, w, (carry[0], carry[1], tn), dtn
+                    )
                     # [CG it_max, res_max, sensors...] — stats replicated
                     return out, jnp.concatenate([stats, extract(out[0], tabl)])
 
-                (u, v, t), rows = jax.lax.scan(body, (u, v, t0v), dts)
+                (u, v, t), rows = jax.lax.scan(body, (u, v, t0v), xs)
                 return u[None], v[None], t, rows[:, None]
 
             rec = jax.jit(jax.shard_map(
