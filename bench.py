@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The fused Pallas path (stiffness kernels + fully-fused RK stage) is the
 # default on TPU; FUS_PALLAS=0 / FUS_FUSED=0 select the XLA fallbacks.
+# The wavefront-fused RK4 step (ONE kernel per step) is enabled for the
+# bench: chip-validated (benchmarks/mosaic_smoke_v5e.txt 9/9,
+# verify_tpu_wave at nx=40/104) and measured 4.23 vs 3.76 GDOF-steps/s
+# over the per-stage path; the warmup ladder below degrades wave -> v3 ->
+# XLA on any failure, so enabling it cannot cost the round its number.
+os.environ.setdefault("FUS_STEP_WAVE", "1")
 
 BASELINE = 0.122  # GDOF·RK4-steps/s per 76-proc Icelake node (BASELINE.md)
 

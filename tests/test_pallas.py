@@ -372,3 +372,27 @@ def test_pallas_v3_rowbatch(monkeypatch):
         WesterveltSpectralExplicit, {"delta0": 4e-3, "beta0": 3.5}, True,
         monkeypatch,
     )
+
+
+def test_chunk_plan_invariants():
+    """Chunk plans must tile the cell axis exactly, with every FULL chunk
+    keeping both MXU matmul dims in one 128-tile (contraction width
+    cells*p+1 <= 128, output rows cells*(p+1) <= 128) — the conditions
+    _chunk_cells was swept for on v5e. Tail chunks may be any size >= 1
+    (p=5/nx=67 leaves a 3-cell tail; flagged round 3, timed round 4 at
+    2.42 ms het vs 1.91 const — no anomaly)."""
+    from fenicsxfus_tpu.ops.pallas_lattice import _chunk_cells, _chunk_plan
+
+    for p in range(2, 9):
+        cc = _chunk_cells(p)
+        m = cc * p
+        assert m + 1 <= 128
+        assert cc * (p + 1) <= 128
+        for n_cells in (1, 2, 3, cc, cc + 1, 2 * cc + 3, 67, 104):
+            plan = _chunk_plan(n_cells, p)
+            covered = 0
+            for lo, c in plan:
+                assert lo == covered and c >= 1
+                assert c <= cc
+                covered += c
+            assert covered == n_cells
