@@ -288,8 +288,11 @@ def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
           f"{TRANSDUCERS[tx]['roc']*1e3:.1f} mm)")
     if out:
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        keep = times > times[-1] - 3.0 / f0
-        sens = np.linspace(0, pts.shape[1] - 1, 9, dtype=int)
+        # keep enough steady periods and axial stations for harmonic
+        # analysis (benchmarks/hitu/harmonics.py): 4 full periods at 31
+        # stations ~ 0.5 MB compressed
+        keep = times > times[-1] - 4.0 / f0
+        sens = np.linspace(0, pts.shape[1] - 1, 31, dtype=int)
         np.savez_compressed(
             out, x=x, amplitude=amp, sensor_x=x[sens],
             times=times[keep], waveforms=ys[keep][:, sens],

@@ -1,0 +1,134 @@
+"""Harmonic content of a recorded HITU run vs weak-shock theory.
+
+The reference runs HITU at p=6 so the Westervelt harmonics are resolved
+(``cpp/fenicsx-sf/benchmarks/HITU/W-H131-WATER/main.cpp:33-52``); VERDICT
+r3 asked for a chip run at true 1.1 MHz with the 2nd/3rd-harmonic growth
+checked against the Fubini/Mendousse expectation in the pre-focal region.
+
+Theory used for the gate: in the quasi-collimated pre-focal region a CW
+beam accumulates 2nd harmonic like a plane wave with slowly varying
+amplitude — the Fubini expansion gives
+
+    p2(x)/p1(x) = sigma_eff(x) / 2,
+    sigma_eff(x) = (beta w0 / (rho0 c0^3)) * integral_0^x p1(s) ds,
+
+valid for sigma_eff < ~1 (pre-shock; Hamilton & Blackstock ch. 4). The
+integral uses the MEASURED fundamental profile p1(s), which absorbs the
+beam's diffraction structure to first order. Attenuation enters through
+the measured p1 as well; water at 1.1 MHz is nearly lossless over 80 mm.
+
+Usage:  python benchmarks/hitu/harmonics.py <artifact.npz> [--json OUT]
+The artifact must carry `times`/`waveforms` (steady tail) and `sensor_x`
+as written by ``common.run`` (31 stations, 4 periods, round-4 format).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def harmonic_amplitudes(times, wave, f0, nharm=3):
+    """|p| at k*f0 (k=1..nharm) from the steady tail via least-squares
+    projection onto cos/sin at each harmonic — robust to a window that is
+    not an exact integer number of samples per period."""
+    t = np.asarray(times, np.float64)
+    y = np.asarray(wave, np.float64)
+    cols = []
+    for k in range(1, nharm + 1):
+        cols += [np.cos(2 * np.pi * k * f0 * t), np.sin(2 * np.pi * k * f0 * t)]
+    A = np.stack(cols + [np.ones_like(t)], axis=1)
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    return np.array([
+        float(np.hypot(coef[2 * k], coef[2 * k + 1])) for k in range(nharm)
+    ])
+
+
+def analyze(path, beta=None, pre_focal_max=None):
+    d = np.load(path, allow_pickle=True)
+    meta = json.loads(str(d["meta"]))
+    f0 = float(meta["f0"])
+    xs = np.asarray(d["sensor_x"], np.float64)
+    times = np.asarray(d["times"], np.float64)
+    ys = np.asarray(d["waveforms"], np.float64)  # [nt, ns]
+
+    import common as hitu
+
+    variant = meta.get("variant", "W-H131-WATER")
+    tx = "H131" if "H131" in variant else "H101"
+    medium = "LIVER" if "LIVER" in variant else "WATER"
+    m = hitu.MEDIA[medium]
+    c0, rho0 = m["c0"], m["rho0"]
+    beta = beta if beta is not None else m["beta"]
+    roc = hitu.TRANSDUCERS[tx]["roc"]
+    pre_focal_max = pre_focal_max or 0.7 * roc
+
+    H = np.stack([
+        harmonic_amplitudes(times, ys[:, j], f0) for j in range(len(xs))
+    ])  # [ns, 3]
+    p1, p2, p3 = H[:, 0], H[:, 1], H[:, 2]
+
+    # sigma_eff from the measured p1 profile (trapezoid cumulative)
+    w0 = 2 * np.pi * f0
+    cum = np.concatenate([[0.0], np.cumsum(
+        0.5 * (p1[1:] + p1[:-1]) * np.diff(xs)
+    )])
+    sigma = beta * w0 / (rho0 * c0**3) * cum
+    pred2 = sigma / 2.0 * p1
+
+    rows = []
+    print(f"{'x mm':>7} {'p1 kPa':>9} {'p2 kPa':>9} {'p2/p1':>7} "
+          f"{'Fubini':>7} {'p3/p1':>7}  pre-focal<{pre_focal_max*1e3:.0f}mm")
+    for j in range(len(xs)):
+        meas = p2[j] / max(p1[j], 1e-12)
+        pred = pred2[j] / max(p1[j], 1e-12)
+        rows.append({
+            "x": float(xs[j]), "p1": float(p1[j]), "p2": float(p2[j]),
+            "p3": float(p3[j]), "ratio2": float(meas),
+            "fubini2": float(pred),
+        })
+        print(f"{xs[j]*1e3:7.1f} {p1[j]/1e3:9.1f} {p2[j]/1e3:9.1f} "
+              f"{meas:7.4f} {pred:7.4f} {p3[j]/max(p1[j],1e-12):7.4f}")
+
+    # gate over the pre-focal window, excluding the extreme near field
+    # (piston edge-wave interference) and stations with tiny sigma where
+    # the ratio is noise-dominated
+    sel = (xs > 0.012) & (xs < pre_focal_max) & (sigma > 0.02)
+    if not np.any(sel):
+        print("no pre-focal stations selected; no gate evaluated")
+        return {"rows": rows, "gate": None}
+    meas = p2[sel] / p1[sel]
+    pred = pred2[sel] / p1[sel]
+    rel = np.abs(meas - pred) / pred
+    worst = float(np.max(rel))
+    med = float(np.median(rel))
+    ok = bool(med < 0.35 and worst < 0.6)
+    print(f"\npre-focal 2nd-harmonic vs Fubini: median rel dev "
+          f"{med*100:.1f}%  worst {worst*100:.1f}%  -> "
+          f"{'PASS' if ok else 'FAIL'}")
+    return {
+        "rows": rows,
+        "gate": {"median_rel": med, "worst_rel": worst, "pass": ok,
+                 "stations": int(sel.sum())},
+        "meta": meta,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    res = analyze(args.artifact)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"wrote {args.json}")
+    ok = res.get("gate") and res["gate"]["pass"]
+    sys.exit(0 if ok else 1)
