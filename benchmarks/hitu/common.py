@@ -73,7 +73,7 @@ SOURCE_VELOCITY = {
 
 def build_model(kind: str, tx: str, medium: str, nx: int, degree: int = 4,
                 f0: float | None = None, cfl: float = 0.4, dtype=None,
-                linear: bool = False):
+                linear: bool = False, nyz: int | None = None):
     """Model for variant ``kind`` ("W" Westervelt / "V" lossy) on transducer
     ``tx`` in ``medium``. ``linear=True`` zeroes β and δ (O'Neil
     validation). Default degree 4 for the scaled single-chip runs; the
@@ -97,7 +97,12 @@ def build_model(kind: str, tx: str, medium: str, nx: int, degree: int = 4,
 
     L, W = g["L"], g["W"]
     h = L / nx
-    nyz = max(int(round(W / h)), 2)
+    # nyz: lateral cell count override. Default cubic cells; the p=5
+    # harmonic-resolved 1.1 MHz run uses a coarser lateral grid (the v3
+    # stage VMEM window budget caps G1/G2 at ~325 for p>=5 on v5e —
+    # _pick_be) which is valid for the PRE-FOCAL on-axis harmonic study:
+    # there the field's lateral structure is beam-scale, not λ-scale.
+    nyz = nyz or max(int(round(W / h)), 2)
     mesh = create_box(
         (nx, nyz, nyz), (0.0, -W / 2, -W / 2), (L, W / 2, W / 2)
     )
@@ -253,7 +258,8 @@ def steady_amplitude(times, ys, f0, n_periods=2):
 
 def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
         full: bool = False, f0: float | None = None, out: str | None = None,
-        final_time: float | None = None, dtype=None, bowl: bool = False):
+        final_time: float | None = None, dtype=None, bowl: bool = False,
+        nyz: int | None = None):
     """Run one HITU variant; returns (axial x, steady amplitude).
     ``bowl=True`` runs on the bowl-FITTED mesh (real curved facets,
     general-geometry operator path) instead of the phased flat aperture."""
@@ -261,8 +267,9 @@ def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
 
     f0 = f0 or (F0_FULL if full else 0.5e6)
     builder = build_bowl_model if bowl else build_model
+    kw = {} if bowl else {"nyz": nyz}
     model, h, dt, spp = builder(
-        kind, tx, medium, nx, degree=degree, f0=f0, dtype=dtype
+        kind, tx, medium, nx, degree=degree, f0=f0, dtype=dtype, **kw
     )
     m = MEDIA[medium]
     c0 = m["c0"]
@@ -379,10 +386,13 @@ def driver_main(kind: str, tx: str, medium: str):
     ap.add_argument("--bowl", action="store_true",
                     help="bowl-fitted mesh (real curved transducer facets) "
                     "instead of the phased flat aperture")
+    ap.add_argument("--nyz", type=int, default=None,
+                    help="lateral cell count (anisotropic cells; see "
+                    "build_model docstring)")
     args = ap.parse_args()
     suffix = "_bowlmesh" if args.bowl else ""
     out = args.out or os.path.join(
         RESULTS, f"{kind.lower()}_{tx.lower()}_{medium.lower()}{suffix}.npz"
     )
     run(kind, tx, medium, nx=args.nx, degree=args.degree, full=args.full,
-        f0=args.f0, out=out, bowl=args.bowl)
+        f0=args.f0, out=out, bowl=args.bowl, nyz=args.nyz)

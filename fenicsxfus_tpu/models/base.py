@@ -441,7 +441,15 @@ class ExplicitModelBase(SpectralModelBase):
         stage = stage_cls(
             pk, kind, hetero, explicit_tables(self.rk_order), self.dtype
         )
+        from ..ops.pallas_stage_v3 import FusedRKStageV3 as _V3
         from ..ops.pallas_step_wave import FusedRKStepWave as _Wave
+
+        if isinstance(stage, _V3) and not isinstance(stage, _Wave):
+            # the v3 stage's VMEM window budget can be exceeded outright
+            # (p>=5 on ~550^2 planes): fall back to the unfused scan
+            # instead of letting Mosaic OOM at compile time
+            if not stage.usable(band=hyb is not None):
+                return None
 
         if isinstance(stage, _Wave) and sep_invm:
             stage.sep_invm = True

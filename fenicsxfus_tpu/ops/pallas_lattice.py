@@ -67,6 +67,15 @@ def _banded_k1(cells: int, p: int) -> np.ndarray:
     return B
 
 
+def _pad_plane(G1, G2, itemsize=4):
+    """One (G1, G2) fp32 plane as stored in VMEM: (8, 128) tile padding.
+    At the 417^3 headline, 417x417 pads to 424x512 — a 1.25x tax; at
+    541x541 (the p=6 H131 shape) 544x640 = 1.19x. Raw-size VMEM models
+    that skip this under-approve block sizes (wave probe r3; v3 stage
+    OOM at p=6, r4: 172.4M actual vs 128M capacity)."""
+    return -(-G1 // 8) * 8 * -(-G2 // 128) * 128 * itemsize
+
+
 def _chunk_cells(p: int, cap: int | None = None) -> int:
     """Cells per full chunk, returned as cells = m/p for the largest lattice
     span m with m % p == 0 and m % 8 == 0 (8-aligned value slices) such that

@@ -44,14 +44,21 @@ from .pallas_stage import (
 )
 
 
-def _pick_be(n0: int, p: int, n_field_ops: int, gdims) -> int:
-    """Elements per block: total field-sized blocks (double-buffered) must
-    fit a ~48MB budget (the 120MB scoped-VMEM limit minus matmul temps)."""
+def _pick_be(n0: int, p: int, n_field_ops: int, gdims):
+    """Elements per block: total field-sized windows (double-buffered, at
+    their PADDED VMEM footprint — (8, 128) tiles) must fit a ~60MB budget
+    (the 120MB scoped-VMEM limit minus matmul temps, bk operands, the
+    carry plane and F windows). Returns None when even be=1 does not fit
+    — callers fall back to the unfused scan. The unconditional ``return
+    1`` this replaces OOM'd Mosaic at p=6 on 541² planes (round 4:
+    172.4M requested of 128M capacity)."""
     import os
+
+    from .pallas_lattice import _pad_plane
 
     env = os.environ.get("FUS_BE")
     G0, G1, G2 = gdims
-    plane = G1 * G2 * 4
+    plane = _pad_plane(G1, G2)
     if env:
         be = min(max(int(env), 1), n0)
         while n0 % be:
@@ -60,15 +67,29 @@ def _pick_be(n0: int, p: int, n_field_ops: int, gdims) -> int:
     for be in (4, 2, 1):
         if n0 % be:
             continue
-        if n_field_ops * be * p * plane * 2 <= 48 << 20:
+        if n_field_ops * be * p * plane * 2 <= 60 << 20:
             return be
-    return 1
+    return None
 
 
 class FusedRKStageV3(FusedRKStage):
     """Drop-in replacement for ``FusedRKStage`` building one pallas call per
     stage instead of the kernel A/B pair. Reuses its table/scal layout,
     packing helpers and ``make_step`` driver."""
+
+    def usable(self, band: bool = False) -> bool:
+        """True iff the WORST stage (the final one: full state + prev
+        slopes + dense fields + two outputs) fits the VMEM window budget.
+        Callers fall back to the unfused scan otherwise (p>=5 Westervelt
+        on ~550^2 planes is the known no-fit case on v5e)."""
+        nde = len(KIND_DENSE[self.kind])
+        ns_state = 2 + min(2, self.nstage - 1)
+        n_prev = max(0, self.nstage - 3)
+        worst = ns_state + n_prev + nde + 2 + (1 if band else 0)
+        return (
+            _pick_be(self.pk.grid[0], self.pk.p, worst, self.pk.gdims)
+            is not None
+        )
 
     # ------------------------------------------------------------ the call
 
@@ -103,6 +124,12 @@ class FusedRKStageV3(FusedRKStage):
             ns_state + n_prev + nde + (2 if final else 1) + int(has_band)
         )
         be = _pick_be(n0, p, n_field_ops, gd)
+        if be is None:
+            raise ValueError(
+                f"v3 stage VMEM: no block size fits gdims={gd} p={p} with "
+                f"{n_field_ops} double-buffered field windows; use the "
+                "unfused scan (FUS_FUSED=0) or reduce the lateral grid"
+            )
         bep = be * p
         B = n0 // be
         nb_f0 = (n0 + be - 1) // be

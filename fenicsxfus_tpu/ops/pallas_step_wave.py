@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_lattice import _VMEM_LIMIT, _k1_matrix
+from .pallas_lattice import _VMEM_LIMIT, _k1_matrix, _pad_plane
 from .pallas_stage import (
     KIND_DENSE,
     KIND_FACET,
@@ -67,14 +67,6 @@ _STRIP_BYTES = 4 << 20
 # the one-kernel-per-step program IS the whole device launch — let it use
 # essentially all of VMEM (v5e capacity 128 MiB)
 _WAVE_VMEM_LIMIT = 127 * 1024 * 1024
-
-
-def _pad_plane(G1, G2, itemsize=4):
-    """One (G1, G2) fp32 plane as stored in VMEM: (8, 128) tile padding.
-    At the 417^3 headline, 417x417 pads to 424x512 — a 1.25x tax that the
-    raw-size model of round 3 missed (probe: 140.8 MiB real vs 92.9
-    estimated)."""
-    return -(-G1 // 8) * 8 * -(-G2 // 128) * 128 * itemsize
 
 
 def _wave_vmem_bytes(gdims, be, p, nde, nf, hetero_any, sep=False, itemsize=4):
