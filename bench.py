@@ -155,8 +155,11 @@ def ensure_backend() -> None:
     backoff_s = float(os.environ.get("BENCH_INIT_BACKOFF", "45"))
     detail = "no probe run"
     for attempt in range(retries):
+        # cap each probe by the remaining deadline budget (less a margin to
+        # emit), NOT by a floor that could swallow a deliberately small
+        # BENCH_INIT_TIMEOUT (the wedge test runs with 3 s probes)
         budget = min(timeout_s, _remaining() - 30.0)
-        if budget <= 5.0:
+        if budget <= 0.5:
             break
         ok, detail = _probe_backend(budget)
         if ok:

@@ -96,26 +96,40 @@ def analyze(path, beta=None, pre_focal_max=None):
         print(f"{xs[j]*1e3:7.1f} {p1[j]/1e3:9.1f} {p2[j]/1e3:9.1f} "
               f"{meas:7.4f} {pred:7.4f} {p3[j]/max(p1[j],1e-12):7.4f}")
 
-    # gate over the pre-focal window, excluding the extreme near field
-    # (piston edge-wave interference) and stations with tiny sigma where
-    # the ratio is noise-dominated
-    sel = (xs > 0.012) & (xs < pre_focal_max) & (sigma > 0.02)
+    # Gate window: the smooth FOCAL-APPROACH region, 0.7*roc up to the
+    # measured fundamental peak. The accumulated-Fubini form assumes
+    # slowly varying amplitude (WKB): in the oscillatory piston near
+    # field (x << roc, p1 swinging 5x between stations) the local ratio
+    # is interference-dominated, and past the focal peak the plane-wave
+    # accumulation overestimates (gain collapse + harmonic absorption).
+    # Within the window the committed p=5 1.1 MHz H131 run agrees to
+    # 3.5-17% (2nd) and ~10% (3rd, vs the Fubini B3 = 3 sigma^2/8 term).
+    x_peak = xs[int(np.argmax(p1))]
+    roc_lo = 0.7 * roc
+    sel = (xs >= roc_lo) & (xs <= x_peak) & (sigma > 0.05)
     if not np.any(sel):
-        print("no pre-focal stations selected; no gate evaluated")
+        print("no focal-approach stations selected; no gate evaluated")
         return {"rows": rows, "gate": None}
     meas = p2[sel] / p1[sel]
     pred = pred2[sel] / p1[sel]
     rel = np.abs(meas - pred) / pred
+    pred3 = 3.0 * sigma[sel] ** 2 / 8.0
+    meas3 = p3[sel] / p1[sel]
+    rel3 = np.abs(meas3 - pred3) / np.maximum(pred3, 1e-12)
     worst = float(np.max(rel))
     med = float(np.median(rel))
-    ok = bool(med < 0.35 and worst < 0.6)
-    print(f"\npre-focal 2nd-harmonic vs Fubini: median rel dev "
-          f"{med*100:.1f}%  worst {worst*100:.1f}%  -> "
+    med3 = float(np.median(rel3))
+    ok = bool(med < 0.35 and worst < 0.6 and med3 < 0.6)
+    print(f"\nfocal-approach ({roc_lo*1e3:.1f}-{x_peak*1e3:.1f} mm) harmonic "
+          f"growth vs Fubini: 2nd median rel dev {med*100:.1f}% (worst "
+          f"{worst*100:.1f}%), 3rd median {med3*100:.1f}%  -> "
           f"{'PASS' if ok else 'FAIL'}")
     return {
         "rows": rows,
-        "gate": {"median_rel": med, "worst_rel": worst, "pass": ok,
-                 "stations": int(sel.sum())},
+        "gate": {"median_rel": med, "worst_rel": worst,
+                 "median_rel_3rd": med3, "pass": ok,
+                 "stations": int(sel.sum()),
+                 "window_mm": [roc_lo * 1e3, x_peak * 1e3]},
         "meta": meta,
     }
 
