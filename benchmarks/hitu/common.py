@@ -158,9 +158,18 @@ def build_bowl_model(kind: str, tx: str, medium: str, nx: int,
     L, W = g["L"], g["W"]
     h = L / nx
     nyz = max(int(round(W / h)), 2)
+    # blend/hold overrides (units of sag / of blend): the round-4 sweep
+    # (benchmarks/bowl_blend_sweep.py) found blend=2*sag, hold=0.25*blend
+    # halves the slab (20.8% vs 45.8% of cells) at the same stable dt —
+    # env-gated until the O'Neil gate confirms the sharper hold.
+    sag = g["roc"] - np.sqrt(g["roc"] ** 2 - g["a"] ** 2)
+    bm = os.environ.get("FUS_BOWL_BLEND_MULT")
+    hm = os.environ.get("FUS_BOWL_HOLD_MULT")
+    blend = float(bm) * sag if bm else None
+    hold = float(hm) * blend if (hm and blend) else None
     mesh, focus = create_bowl_box(
         (nx, nyz, nyz), (0.0, -W / 2, -W / 2), (L, W / 2, W / 2),
-        g["roc"], g["a"],
+        g["roc"], g["a"], blend=blend, lateral_hold=hold,
     )
 
     # CFL on the true (snapped/deformed) minimum edge, rounded to integer
