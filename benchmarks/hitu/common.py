@@ -158,15 +158,20 @@ def build_bowl_model(kind: str, tx: str, medium: str, nx: int,
     L, W = g["L"], g["W"]
     h = L / nx
     nyz = max(int(round(W / h)), 2)
-    # blend/hold overrides (units of sag / of blend): the round-4 sweep
+    # blend/hold in units of sag / of blend: the round-4 sweep
     # (benchmarks/bowl_blend_sweep.py) found blend=2*sag, hold=0.25*blend
-    # halves the slab (20.8% vs 45.8% of cells) at the same stable dt —
-    # env-gated until the O'Neil gate confirms the sharper hold.
+    # halves the slab (20.8% vs 45.8% of cells) at the same spectral
+    # stable dt; chip-validated (O'Neil focal gain 0.34%, position
+    # 0.75 mm, focal L2 1.6% at nx=64) and 2.08x faster end-to-end on the
+    # nx=80 production run (0.377 vs 0.181 GDOF-steps/s, same focal
+    # field to 0.4%) — now the production default here. The env knobs
+    # keep the sweep reproducible; core create_bowl_box defaults are
+    # unchanged (blend=3*sag, hold=blend — the conservative choice).
     sag = g["roc"] - np.sqrt(g["roc"] ** 2 - g["a"] ** 2)
-    bm = os.environ.get("FUS_BOWL_BLEND_MULT")
-    hm = os.environ.get("FUS_BOWL_HOLD_MULT")
-    blend = float(bm) * sag if bm else None
-    hold = float(hm) * blend if (hm and blend) else None
+    bm = float(os.environ.get("FUS_BOWL_BLEND_MULT", "2.0"))
+    hm = float(os.environ.get("FUS_BOWL_HOLD_MULT", "0.25"))
+    blend = bm * sag
+    hold = hm * blend
     mesh, focus = create_bowl_box(
         (nx, nyz, nyz), (0.0, -W / 2, -W / 2), (L, W / 2, W / 2),
         g["roc"], g["a"], blend=blend, lateral_hold=hold,
