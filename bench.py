@@ -8,36 +8,37 @@ GDOF·RK4-updates/s on one TPU chip; vs_baseline is the node-for-chip ratio.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Survivability (VERDICT r3 #1): the whole run is governed by an INTERNAL
-wall-clock deadline (BENCH_DEADLINE, default 450 s — under any plausible
-driver kill). A watchdog thread emits a structured one-line JSON (stage
-reached + per-phase elapsed) and exits 0 if the deadline expires mid-phase
-— a wedged relay or a pathological cold compile can no longer erase the
-round's evidence the way BENCH_r02 (rc=1) and BENCH_r03 (rc=124) were.
-Phases are budget-gated: the exact-shape pallas self-check (~2 min) is
-skipped when the remaining budget cannot afford it, and if the full
-72.5M-DOF rung cannot fit the remaining time the bench degrades to an
-honestly-labelled 17.0M-DOF rung instead of producing nothing.
+Survivability design (round 5 — VERDICT r4 "Next round" #1):
+every measurement rung runs in its OWN SUBPROCESS.  BENCH_r04 emitted a
+structured record but the value was 0.0 because all ladder rungs shared one
+process: after the full-shape rung failed, its device buffers stayed pinned
+(locals + exception ``__traceback__``) and every subsequent rung died
+RESOURCE_EXHAUSTED.  A child process that exits returns ALL of its HBM, so
+the fallback rungs start clean.  The parent only sequences the ladder,
+enforces the internal wall-clock deadline (BENCH_DEADLINE, default 450 s —
+under any plausible driver kill), and re-emits the winning child's JSON.
+
+The exact-shape pallas-vs-XLA self-check is NOT run here any more (it
+compiled a second full-72.5M-DOF XLA program while the pallas model was
+resident — the proximate OOM trigger in r4); it lives in
+``benchmarks/mosaic_smoke.py`` (production-shape tier) where it has a
+process to itself.  The wavefront step (1.12× at best, VMEM-brittle) is
+also off by default for the driver bench; FUS_STEP_WAVE=1 re-enables it.
+
+Ladder (first rung to produce a finite value wins):
+  A. nx=104 (72.5M DOF), fused pallas v3 per-stage path
+  B. nx=64  (17.0M DOF), fused pallas v3 per-stage path  [degraded label]
+  C. nx=64  (17.0M DOF), pure-XLA lattice path           [degraded label]
 """
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-# The fused Pallas path (stiffness kernels + fully-fused RK stage) is the
-# default on TPU; FUS_PALLAS=0 / FUS_FUSED=0 select the XLA fallbacks.
-# The wavefront-fused RK4 step (ONE kernel per step) is enabled for the
-# bench: chip-validated (benchmarks/mosaic_smoke_v5e.txt 9/9,
-# verify_tpu_wave at nx=40/104) and measured 4.23 vs 3.76 GDOF-steps/s
-# over the per-stage path; the warmup ladder below degrades wave -> v3 ->
-# XLA on any failure, so enabling it cannot cost the round its number.
-os.environ.setdefault("FUS_STEP_WAVE", "1")
 
 BASELINE = 0.122  # GDOF·RK4-steps/s per 76-proc Icelake node (BASELINE.md)
 
@@ -71,6 +72,11 @@ def _metric(ndofs_m: float, nsteps: int) -> str:
     )
 
 
+# DOF count for an nx^3 box at p=4: (4*nx+1)^3 (closed GLL lattice).
+def _ndofs(nx: int) -> int:
+    return (4 * nx + 1) ** 3
+
+
 def _emit(obj: dict) -> bool:
     """Print the single JSON result line exactly once."""
     with _lock:
@@ -81,17 +87,17 @@ def _emit(obj: dict) -> bool:
     return True
 
 
-def _fail_json(reason: str) -> None:
+def _fail_json(reason: str, nx: int, nsteps: int) -> None:
     """Emit a parseable one-line record instead of a traceback so neither a
     backend outage (VERDICT r2) nor a deadline-busting compile (VERDICT r3)
-    erases a round's perf evidence. Includes the stage reached and the
-    per-phase elapsed table for post-mortem."""
+    nor an OOM cascade (VERDICT r4) erases a round's perf evidence.  The
+    metric label reflects the shape actually attempted (ADVICE r4 #2)."""
     with _lock:
         stage = _state["stage"]
         phases = list(_state["phases"])
     _emit(
         {
-            "metric": _metric(72.5, 101),
+            "metric": _metric(_ndofs(nx) / 1e6, nsteps),
             "value": 0.0,
             "unit": "GDOF-steps/s",
             "vs_baseline": 0.0,
@@ -103,11 +109,12 @@ def _fail_json(reason: str) -> None:
     )
 
 
-def _watchdog() -> None:
+def _watchdog(nx: int, nsteps: int) -> None:
     """Hard internal deadline: independent of whatever the main thread is
-    stuck in (XLA compile, wedged relay RPC), print the structured failure
-    and exit 0. os._exit is deliberate — a blocked C call in the main
-    thread cannot be interrupted, only abandoned."""
+    stuck in, print the structured failure and exit 0.  os._exit is
+    deliberate — a blocked subprocess.run in the main thread cannot be
+    interrupted, only abandoned (children get SIGKILLed by their own
+    timeouts or die with the process group)."""
     while True:
         rem = _remaining()
         if rem <= 0:
@@ -116,7 +123,9 @@ def _watchdog() -> None:
     if _state["result"] is None:
         _fail_json(
             f"internal deadline {DEADLINE:.0f}s expired during stage "
-            f"'{_state['stage']}'"
+            f"'{_state['stage']}'",
+            nx,
+            nsteps,
         )
     sys.stdout.flush()
     sys.stderr.flush()
@@ -127,8 +136,6 @@ def _probe_backend(timeout_s: float):
     """Check backend init in a SUBPROCESS so a wedged relay (the axon client
     retries forever inside jax.devices(), hanging the process) is bounded by
     a kill, not trusted to raise. Returns (ok, detail)."""
-    import subprocess
-
     code = "import jax; print(jax.devices()[0].platform)"
     try:
         r = subprocess.run(
@@ -145,25 +152,20 @@ def _probe_backend(timeout_s: float):
     return False, f"backend init failed: {tail}"
 
 
-def ensure_backend() -> None:
+def ensure_backend(nx: int, nsteps: int) -> bool:
     """Bounded retry/backoff on backend availability; on exhaustion print a
-    structured failure JSON and exit 0 so the driver records it. Retries
-    never run past the point where the deadline could no longer fit even the
-    degraded measurement rung."""
+    structured failure JSON.  Returns True when the backend answered."""
     retries = int(os.environ.get("BENCH_INIT_RETRIES", "5"))
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT", "90"))
     backoff_s = float(os.environ.get("BENCH_INIT_BACKOFF", "45"))
     detail = "no probe run"
     for attempt in range(retries):
-        # cap each probe by the remaining deadline budget (less a margin to
-        # emit), NOT by a floor that could swallow a deliberately small
-        # BENCH_INIT_TIMEOUT (the wedge test runs with 3 s probes)
         budget = min(timeout_s, _remaining() - 30.0)
         if budget <= 0.5:
             break
         ok, detail = _probe_backend(budget)
         if ok:
-            return
+            return True
         print(
             f"[bench] backend probe {attempt + 1}/{retries} failed: {detail}",
             file=sys.stderr,
@@ -171,198 +173,180 @@ def ensure_backend() -> None:
         )
         if attempt < retries - 1 and _remaining() > backoff_s + timeout_s:
             time.sleep(backoff_s)
-    _fail_json(f"backend unavailable after probes: {detail}")
-    sys.exit(0)
+    _fail_json(f"backend unavailable after probes: {detail}", nx, nsteps)
+    return False
 
 
-# Phase cost estimates (measured cold-ish on the 1-core host VM + v5e relay,
-# 2026-08-20: build 80 s / self-check 121 s / warmup 48 s / run 30 s at
-# nx=104). Used only for budget gating — generous so a modest slowdown
-# still fits; a pathological one hits the watchdog instead.
-EST_FULL_BUILD = 100.0
-EST_FULL_WARMUP = 90.0
-EST_FULL_RUN = 40.0
-EST_SELFCHECK = 140.0
-EST_SMALL_RUNG = 130.0
+# ---------------------------------------------------------------------------
+# Child: one rung = build + warmup-compile + timed run, in a fresh process.
+# Invoked as `python bench.py --rung <nx> <nsteps>`; env selects the path.
+# ---------------------------------------------------------------------------
 
 
-def _build_model(nx, degree, dt_scale, dtype):
-    import jax.numpy as jnp  # noqa: F401
+def _rung_child(nx: int, nsteps: int) -> None:
+    t_start = time.monotonic()
+
+    def say(msg):
+        print(f"[rung {time.monotonic()-t_start:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    say("importing jax")
+    import jax.numpy as jnp
+    import numpy as np
 
     from fenicsxfus_tpu import LinearSpectralExplicit, create_box, tag_boundaries
 
+    degree = 4
+    dtype = jnp.float32
     c0, rho0 = 1500.0, 1000.0
-    f0 = 0.5e6
-    p0 = 60000.0
+    f0, p0 = 0.5e6, 60000.0
     L = 0.12  # reference PH1/solver-speed domain scale (m)
+    say("building mesh")
     mesh = create_box((nx, nx, nx), (0, 0, 0), (L, L, L))
     tag_boundaries(mesh, {1: lambda x: x[0] < 1e-9, 2: lambda x: x[0] > L - 1e-9})
     h = L / nx
-    dt = dt_scale * h / (c0 * degree**2)
+    dt = 0.9 * h / (c0 * degree**2)
+    say("model init")
     model = LinearSpectralExplicit(
         mesh, None, degree, c0, rho0, f0, p0, c0, 4, dt, dtype=dtype
     )
     model.init()
-    return model, dt
-
-
-def _self_check(model, mesh_nx, degree, dt, dtype):
-    """Exact-shape agreement of the fused pallas apply vs the XLA lattice
-    path (a tile-size bug once silently corrupted 20% of one axis at G=513).
-    Returns the (possibly rebuilt) model."""
-    import jax
-    import jax.numpy as jnp
-
-    ops = model.ops
-    pk = ops.pallas2
-    if pk is None:
-        return model, "no-pallas"
-    try:
-        xs = jax.random.normal(jax.random.PRNGKey(0), ops.lattice.gdims, dtype)
-        y_p = pk.apply([xs], [pk.pack_const(1.0)])
-        y_x = ops.lattice.apply_scaled([(xs, ops.pack_scales(1.0))])
-        rel = float(jnp.max(jnp.abs(y_p - y_x)) / jnp.max(jnp.abs(y_x)))
-        ok = np.isfinite(rel) and rel <= 1e-4
-    except Exception as e:  # compile/runtime failure == failed check
-        _mark(f"self-check raised {type(e).__name__}")
-        rel, ok = float("nan"), False
-    if not ok:
-        _mark(f"pallas self-check FAILED (rel {rel:.2e}); rebuilding on XLA path")
-        os.environ["FUS_PALLAS"] = "0"
-        model, _ = _build_model(mesh_nx, degree, 0.9, dtype)
-        return model, f"failed rel={rel:.2e}; XLA fallback"
-    return model, f"ok rel={rel:.2e}"
-
-
-def _measure_rung(nx, nsteps, allow_selfcheck):
-    """Build + (optionally self-check) + warm up + time one rung. Returns a
-    result dict. Degrade ladder inside warmup: wave step → v3 per-stage →
-    XLA scan; each rung's REBUILD is inside the try so a host OOM during
-    reconstruction falls through to the next rung (ADVICE r3 #1)."""
-    import jax.numpy as jnp
-
-    degree = 4
-    dtype = jnp.float32
-
-    _mark(f"build nx={nx}")
-    model, dt = _build_model(nx, degree, 0.9, dtype)
     ndofs = model.number_of_dofs()
+    say(f"built nx={nx}: {ndofs/1e6:.1f}M DOF; model._build")
 
-    note = []
-    if allow_selfcheck and _remaining() > EST_SELFCHECK + EST_FULL_WARMUP + EST_FULL_RUN:
-        _mark("pallas self-check")
-        model, sc = _self_check(model, nx, degree, dt, dtype)
-        note.append(f"selfcheck {sc}")
-    else:
-        note.append("selfcheck skipped (budget)")
-
-    _mark("warmup (compile)")
     model._build()
     solve = model._solve
     consts = model.consts
     u, v = model.u_n, model.v_n
 
-    # warmup with the SAME dts shape (scan length is baked into the
-    # compiled program — a different length would retrace). A scalar
-    # readback forces real completion: block_until_ready returns early on
-    # the axon relay backend.
-    try:
-        uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
-        _ = float(jnp.sum(uw))
-    except Exception as e:
-        _mark(f"fused warmup raised {type(e).__name__}")
-        ladder = []
-        if os.environ.get("FUS_STEP_WAVE", "") == "1":
-            ladder.append(("FUS_STEP_WAVE", "0", "v3 per-stage fallback"))
-        ladder.append(("FUS_PALLAS", "0", "XLA fallback"))
-        for var, val, label in ladder:
-            _mark(label)
-            os.environ[var] = val
-            try:
-                model, dt = _build_model(nx, degree, 0.9, dtype)
-                model._build()
-                solve = model._solve
-                consts = model.consts
-                u, v = model.u_n, model.v_n
-                uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
-                _ = float(jnp.sum(uw))
-                note.append(label)
-                break
-            except Exception as e2:
-                _mark(f"{label} warmup raised {type(e2).__name__}")
-        else:
-            raise
+    # Warmup with the SAME dts shape (scan length is baked into the compiled
+    # program).  A scalar readback forces real completion: block_until_ready
+    # returns early on the axon relay backend.
+    say("warmup (compile + first solve)")
+    uw, vw, _ = solve(consts, u, v, 0.0, nsteps * dt, dt)
+    _ = float(jnp.sum(uw))
+    say("warmup done; timed run")
 
-    _mark("timed run")
     t0 = time.perf_counter()
     uf, vf, tf = solve(consts, u, v, 0.0, nsteps * dt, dt)
     checksum = float(jnp.sum(jnp.abs(uf)))
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum)
     value = ndofs * nsteps / elapsed / 1e9
-    res = {
-        "metric": _metric(ndofs / 1e6, nsteps),
-        "value": round(value, 4),
-        "unit": "GDOF-steps/s",
-        "vs_baseline": round(value / BASELINE, 2),
-    }
-    # a passing self-check is the expected path — only surface anomalies
-    notes = [n for n in note if not n.startswith("selfcheck ok")]
-    if notes:
-        res["note"] = "; ".join(notes)
-    return res
+    print(
+        json.dumps(
+            {
+                "metric": _metric(ndofs / 1e6, nsteps),
+                "value": round(value, 4),
+                "unit": "GDOF-steps/s",
+                "vs_baseline": round(value / BASELINE, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _parse_child_json(stdout: str):
+    """Last stdout line that parses as a dict with a finite 'value' wins."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "value" in obj:
+            return obj
+    return None
+
+
+def _run_rung(nx: int, nsteps: int, env_overrides: dict, timeout_s: float):
+    """Run one rung in a child process.  Returns (result_dict | None, note).
+    Process exit returns all of the rung's device memory — the property the
+    in-process ladder lacked (BENCH_r04 OOM cascade)."""
+    env = dict(os.environ)
+    env.update(env_overrides)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung", str(nx), str(nsteps)],
+            timeout=max(timeout_s, 1.0),
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout >{timeout_s:.0f}s"
+    if os.environ.get("BENCH_VERBOSE") and r.stderr:
+        print(r.stderr, file=sys.stderr, flush=True)
+    obj = _parse_child_json(r.stdout)
+    if obj is not None and obj.get("value", 0) > 0:
+        return obj, "ok"
+    tail_lines = (r.stderr.strip().splitlines() or [f"rc={r.returncode}"])
+    # Last line carrying an exception name beats a bare traceback frame.
+    tail = tail_lines[-1]
+    for cand in reversed(tail_lines):
+        if "Error" in cand or "error" in cand.lower():
+            tail = cand.strip()
+            break
+    return None, f"rc={r.returncode}: {tail[:300]}"
+
+
+# Phase cost estimates, cold, on the 1-core host VM + v5e relay (2026-08-20
+# measurements; no compile cache survives across processes on this backend —
+# verified: JAX_COMPILATION_CACHE_DIR stays empty under axon, and a second
+# process pays full compile again).  Generous so a modest slowdown still
+# fits; a pathological one hits the child timeout, frees its HBM by exit,
+# and the ladder moves on.
+EST_FULL_RUNG = 320.0  # nx=104: build ~110 s + compile ~60 s + 2 runs ~60 s
+EST_SMALL_RUNG = 150.0  # nx=64
+MARGIN = 20.0  # parent needs this much to emit + run the next probe
 
 
 def main():
-    # Persistent XLA compilation cache: cached reruns skip the production
-    # program compile (remote-compiled artifacts may not be captured — the
-    # deadline/degrade machinery above is the real safety net).
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-
-    _mark("backend probe")
-    ensure_backend()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--rung":
+        _rung_child(int(sys.argv[2]), int(sys.argv[3]))
+        return
 
     nx = int(os.environ.get("BENCH_NX", "104"))
     nx_fb = int(os.environ.get("BENCH_NX_FALLBACK", "64"))
     nsteps = int(os.environ.get("BENCH_STEPS", "101"))
 
-    # Full rung only if the remaining budget plausibly fits it; otherwise
-    # go straight to the small rung so SOMETHING honest lands.
-    full_needed = EST_FULL_BUILD + EST_FULL_WARMUP + EST_FULL_RUN
-    try:
-        if _remaining() >= full_needed:
-            res = _measure_rung(nx, nsteps, allow_selfcheck=True)
-        else:
-            _mark(f"budget {_remaining():.0f}s < full rung; degrading to nx=64")
-            res = _measure_rung(nx_fb, nsteps, allow_selfcheck=False)
-            res["note"] = (res.get("note", "") + "; degraded rung (budget)").lstrip("; ")
-    except Exception as e:
-        # full rung died outright (e.g. host OOM) — one attempt at the
-        # small rung if the budget still allows, else structured failure.
-        _mark(f"rung raised {type(e).__name__}: {e}")
-        if _remaining() >= EST_SMALL_RUNG:
-            try:
-                res = _measure_rung(nx_fb, nsteps, allow_selfcheck=False)
-                res["note"] = (
-                    res.get("note", "")
-                    + f"; degraded rung after {type(e).__name__}"
-                ).lstrip("; ")
-            except Exception as e2:
-                _fail_json(
-                    f"both rungs failed: {type(e).__name__}: {e}; "
-                    f"then {type(e2).__name__}: {e2}"
-                )
-                return
-        else:
-            _fail_json(f"rung failed, no budget left: {type(e).__name__}: {e}")
+    threading.Thread(target=_watchdog, args=(nx, nsteps), daemon=True).start()
+
+    _mark("backend probe")
+    if not ensure_backend(nx, nsteps):
+        return
+
+    # The wavefront step is off for the driver bench unless explicitly
+    # requested: 1.12× at best and VMEM-brittle (VERDICT r4 weak #4).
+    base_env = {"FUS_STEP_WAVE": os.environ.get("FUS_STEP_WAVE", "0")}
+
+    ladder = [
+        (nx, base_env, EST_FULL_RUNG, None),
+        (nx_fb, base_env, EST_SMALL_RUNG, "degraded rung"),
+        (nx_fb, {**base_env, "FUS_PALLAS": "0"}, EST_SMALL_RUNG, "degraded rung (XLA path)"),
+    ]
+
+    notes = []
+    for rung_nx, env_over, est, label in ladder:
+        budget = _remaining() - MARGIN
+        if budget < 60.0:
+            notes.append(f"nx={rung_nx} skipped (budget {budget:.0f}s)")
+            break
+        timeout_s = min(est, budget)
+        _mark(f"rung nx={rung_nx} ({label or 'primary'}, timeout {timeout_s:.0f}s)")
+        res, note = _run_rung(rung_nx, nsteps, env_over, timeout_s)
+        if res is not None:
+            if label:
+                res["note"] = "; ".join(notes + [label]) if notes else label
+            elif notes:
+                res["note"] = "; ".join(notes)
+            _emit(res)
             return
-    _emit(res)
+        notes.append(f"nx={rung_nx} failed ({note})")
+        _mark(f"rung nx={rung_nx} failed: {note[:120]}")
+
+    _fail_json("all rungs failed: " + " | ".join(notes), nx, nsteps)
 
 
 if __name__ == "__main__":

@@ -386,8 +386,11 @@ class ExplicitModelBase(SpectralModelBase):
         for k in facet_keys:
             pf_key = k + "__pf"
             if pf_key not in self.consts:
+                # ops.np_of: assembly-time host mirror — a plain np.asarray
+                # here reads ~300 MB back over the relay (30 s–4 min each;
+                # the dominant cost of bench rung setup before round 5)
                 packed = pack_facet_vector(
-                    np.asarray(self.consts[k]), pk.gdims
+                    self.ops.np_of(self.consts[k]), pk.gdims
                 )
                 if packed is None:
                     return None
@@ -426,7 +429,7 @@ class ExplicitModelBase(SpectralModelBase):
             # skips its dense ring+window (the VMEM that decides 417^3 fit)
             if dense_keys == ("inv_m",):
                 sep = try_separate_field(
-                    np.asarray(self.consts["inv_m"]), pk.gdims
+                    self.ops.np_of(self.consts["inv_m"]), pk.gdims
                 )
                 if sep is not None:
                     self.consts["inv_m__sep0"] = jnp.asarray(

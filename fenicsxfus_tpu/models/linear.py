@@ -81,8 +81,12 @@ class LinearSpectralExplicit(ExplicitModelBase):
         rho = _cellwise(rho0, nc)
         ops = self.ops
         self.consts = self.base_consts()
-        # LHS lumped mass: ∫ (1/ρc²) u φ dx   (reference a-form :349-353)
-        self.consts["inv_m"] = 1.0 / ops.assemble_diag(1.0 / (rho * c * c))
+        # LHS lumped mass: ∫ (1/ρc²) u φ dx   (reference a-form :349-353).
+        # Inverted on HOST so the reciprocal keeps an assembly-time mirror
+        # (the wave-step packing reads it back as numpy; see ops.np_of).
+        m_host = ops.np_of(ops.assemble_diag(1.0 / (rho * c * c)))
+        inv_host = 1.0 / m_host
+        self.consts["inv_m"] = ops._mirror(jnp.asarray(inv_host, dtype), inv_host)
         # RHS pieces (reference L-form :355-361)
         self.raw_stiff = {"coeff_u": 1.0 / rho}
         self.consts["coeff_u"] = ops.stiff_coeff(1.0 / rho)

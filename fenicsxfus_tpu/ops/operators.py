@@ -115,6 +115,27 @@ class SEMOperators:
         self._scales_cache: dict[int, object] = {}
 
         self._facet_cache: dict[int, tuple] = {}
+        # Host mirrors of one-time assembled device constants (facet vectors,
+        # lumped-mass diagonals).  These are assembled on HOST and uploaded;
+        # the fused-stage setup later needs them back as numpy to pack the
+        # per-face planes — and a device→host readback of a ~300 MB field
+        # over the axon relay costs 30 s–4 min (round-5 ctor profile: the
+        # two facet readbacks alone were 58 s of a 67 s constructor, and the
+        # dominant share of BENCH rung setup).  Entries pin the device array
+        # itself so the id() key cannot be recycled while the entry lives.
+        self._np_mirror: dict[int, tuple] = {}
+
+    def _mirror(self, dev, host: np.ndarray):
+        self._np_mirror[id(dev)] = (dev, host)
+        return dev
+
+    def np_of(self, dev) -> np.ndarray:
+        """Host copy of a device constant: the pinned assembly-time mirror
+        when one exists, else an (expensive, relay-bound) readback."""
+        ent = self._np_mirror.get(id(dev))
+        if ent is not None and ent[0] is dev:
+            return ent[1]
+        return np.asarray(dev)
 
     # --------------------------------------------------- geometry (lazy)
 
@@ -438,7 +459,9 @@ class SEMOperators:
                 m = m.reshape(-1) + self._diag_band_np(
                     cell_coeff, self.hybrid["wdetJ_corr_np"]
                 )
-            return jnp.asarray(m, self.dtype)
+            npdt = np.float32 if np.dtype(self.dtype) == np.float32 else np.float64
+            host = np.asarray(m, npdt).reshape(-1)
+            return self._mirror(jnp.asarray(host), host)
         coeff = _as_cell_array(cell_coeff, self.num_cells, self.dtype)
         shape = (-1,) + (1,) * self.d
         return self.scatter(coeff.reshape(shape) * self.wdetJ)
@@ -731,7 +754,7 @@ class SEMOperators:
         # float64 traffic on this single-core host.
         out = np.zeros(self.ndofs, npdt)
         np.add.at(out, np.asarray(gdofs), vals)
-        return jnp.asarray(out)
+        return self._mirror(jnp.asarray(out), out)
 
     def facet_vector_nodal(self, tag: int, nodal_coeff, cell_coeff=None) -> jnp.ndarray:
         """Assembled ∫_{Γ_tag} c_cell · s(x) φ_i ds with a per-DOF profile
@@ -754,7 +777,7 @@ class SEMOperators:
                 vals = vals * np.repeat(coeff[cells], w.shape[0] // len(cells))
         out = np.zeros(self.ndofs, npdt)
         np.add.at(out, gd, vals)
-        return jnp.asarray(out)
+        return self._mirror(jnp.asarray(out), out)
 
     # ------------------------------------------------------------ interpolation
 
