@@ -281,6 +281,13 @@ def run(kind: str, tx: str, medium: str, nx: int = 80, degree: int = 4,
 
     f0 = f0 or (F0_FULL if full else 0.5e6)
     builder = build_bowl_model if bowl else build_model
+    if bowl and nyz is not None:
+        # the bowl-fitted mesh derives its lateral resolution from the bowl
+        # geometry — a user nyz cannot be honoured there (ADVICE r4 #3)
+        raise ValueError(
+            "nyz is not supported with bowl=True: the bowl-fitted mesh "
+            "sets its own lateral grid; drop --nyz or drop --bowl"
+        )
     kw = {} if bowl else {"nyz": nyz}
     model, h, dt, spp = builder(
         kind, tx, medium, nx, degree=degree, f0=f0, dtype=dtype, **kw

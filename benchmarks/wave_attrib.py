@@ -96,11 +96,15 @@ def main(nx, be_forced, reps=3, chain=10):
     # and by fori_loop: separates scan-carry overhead from kernel cost.
     real_step = model._make_step()
     dts = jnp.full((chain,), jnp.float32(model.dt))
+    # fused steps declare carry_shape and return 3D-shaped u/v — the carry
+    # must be initialized in that shape or lax.scan rejects the mismatched
+    # carry types (mirrors make_scan_from_step; ADVICE r4 #1)
+    cshape = getattr(real_step, "carry_shape", None) or (-1,)
 
     def scan_real(consts, u, v):
         (u, v, t), _ = jax.lax.scan(
             lambda c, d: real_step(consts, c, d),
-            (u.reshape(-1), v.reshape(-1), jnp.float32(0.0)),
+            (u.reshape(cshape), v.reshape(cshape), jnp.float32(0.0)),
             dts,
         )
         return u, v, t
@@ -111,7 +115,7 @@ def main(nx, be_forced, reps=3, chain=10):
             return out
 
         return jax.lax.fori_loop(
-            0, chain, body, (u.reshape(-1), v.reshape(-1), jnp.float32(0.0))
+            0, chain, body, (u.reshape(cshape), v.reshape(cshape), jnp.float32(0.0))
         )
 
     u0 = jnp.zeros(gd, jnp.float32)

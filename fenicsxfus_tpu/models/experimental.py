@@ -205,6 +205,7 @@ class LinearSpectralSponge(ExplicitModelBase):
 
     STIFF_KEYS = ("coeff_u",)
     NODAL_STIFF_KEYS = ("delta_scales",)
+    SHARD_INV_KEYS = ("inv_m",)  # streamed setup: sum local m, then invert
 
     def __init__(self, mesh, meshtags, degree, c0, rho0, delta0, freq0, p0, s0,
                  sponge_start: float = 0.12, delta_profile=None,

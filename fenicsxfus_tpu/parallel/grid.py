@@ -264,10 +264,40 @@ class GridDecomposition:
             jnp.asarray(np.stack(w_all), self.dtype), self.sharding
         )
 
+    def _pack_nodal_coeff(self, nodal):
+        """Per-device packed *nodal* stiffness coefficient (sponge δ(x)) —
+        the multi-axis analogue of ``slab._pack_nodal_coeff``: embed the
+        global DOF field in the per-axis padded box (zeros on padding rows,
+        so padded cells contribute no stiffness), slice each block, pack
+        with the local lattice's ``scales_nodal``.  δ is pointwise, so
+        replicated interface planes simply carry equal values — no
+        interface summation (unlike assembled diagonals).
+        Reference: the sponge runs under any MPI partition,
+        ``python/src/fenicsxfus/_experimental.py:715-824``."""
+        if self.ops.lattice is None:
+            raise ValueError(
+                "nodal stiffness coefficients need the lattice fast path"
+            )
+        arr = np.asarray(nodal, np.float64).reshape(self.Gs + (self.rest,))
+        arr = self._pad_global(arr, 0.0)
+        packed = [
+            self.ops.lattice.scales_nodal(
+                arr[self._block_slices(didx)].reshape(-1)
+            )
+            for didx in np.ndindex(*self.dshape)
+        ]
+        return tuple(
+            jax.device_put(
+                jnp.stack([pk[a] for pk in packed]), self.sharding
+            )
+            for a in range(len(packed[0]))
+        )
+
     def shard_consts(self, consts, global_ndofs, global_ncells,
                      stiff_keys=(), raw_stiff=None, nodal_stiff_keys=(),
                      raw_nodal=None, pad_one=()):
         raw_stiff = raw_stiff or {}
+        raw_nodal = raw_nodal or {}
         out = {}
         for k, val in consts.items():
             if k in stiff_keys:
@@ -304,10 +334,10 @@ class GridDecomposition:
                     )
                 continue
             if k in nodal_stiff_keys:
-                raise NotImplementedError(
-                    "nodal stiffness coefficients on multi-axis device "
-                    "meshes: use the 1D slab decomposition"
+                out[k] = self._pack_nodal_coeff(
+                    np.asarray(raw_nodal[k], np.float64).reshape(-1)
                 )
+                continue
             if np.isscalar(val) or getattr(val, "ndim", 0) == 0:
                 out[k] = val
             elif isinstance(val, (tuple, list, dict)):
@@ -814,6 +844,7 @@ def build_sharded_grid(model_factory, grid, lo, hi, degree, dshape, dtype,
         true_rows = [t * p + 1 if t > 0 else 0 for t in tc]
         raw = {}
         raw_stiff = {}
+        raw_nodal_blk = {}
         if min(tc) > 0:
             l0 = dec.lo.copy()
             h0 = dec.hi.copy()
@@ -833,12 +864,20 @@ def build_sharded_grid(model_factory, grid, lo, hi, degree, dshape, dtype,
                 nodal_keys = tuple(getattr(cls, "NODAL_STIFF_KEYS", ()))
                 if implicit:
                     pad_one = pad_one or ("m",)
-            if nodal_keys:
-                raise NotImplementedError(
-                    "nodal stiffness coefficients on multi-axis device "
-                    "meshes: use the 1D slab decomposition"
-                )
+            for k in nodal_keys:
+                # nodal (per-DOF) stiffness coefficient: pointwise δ(x),
+                # NOT additively assembled — embed in the padded box
+                # (zeros on padding) and ship without interface exchange
+                # (replicated planes carry equal pointwise values)
+                a = np.asarray(
+                    model.raw_nodal[k], np.float64
+                ).reshape(tuple(true_rows) + (rest,))
+                full = np.zeros(local_shape)
+                full[tuple(slice(0, tr) for tr in true_rows)] = a
+                raw_nodal_blk[k] = full
             for k, v in model.consts.items():
+                if k in nodal_keys:
+                    continue
                 if k in stiff_keys:
                     coeff = np.broadcast_to(
                         np.asarray(model.raw_stiff[k], np.float64).reshape(-1),
@@ -870,9 +909,12 @@ def build_sharded_grid(model_factory, grid, lo, hi, degree, dshape, dtype,
                 raw[k] = np.zeros(local_shape)
             for k in stiff_keys:
                 raw_stiff[k] = np.zeros(dec.cells_per_dev)
+            for k in nodal_keys:
+                raw_nodal_blk[k] = np.zeros(local_shape)
         if not dof_key_template:
             dof_key_template = list(raw.keys())
-        return {"raw": raw, "stiff": raw_stiff, "true_rows": true_rows}
+        return {"raw": raw, "stiff": raw_stiff, "nodal": raw_nodal_blk,
+                "true_rows": true_rows}
 
     def exchange(rec_lo, rec_hi, ax):
         """Additive plane exchange between neighbours along tensor axis
@@ -895,6 +937,15 @@ def build_sharded_grid(model_factory, grid, lo, hi, degree, dshape, dtype,
             )
         for k, coeff in rec["stiff"].items():
             packed = dec._pack_one_stiff(coeff)
+            leaves, treedef = jax.tree.flatten(packed)
+            entry = packed_shards.setdefault(
+                k, {"treedef": treedef, "leaves": []}
+            )
+            entry["leaves"].append(
+                [jax.device_put(leaf[None], dev) for leaf in leaves]
+            )
+        for k, field in rec["nodal"].items():
+            packed = dec.ops.lattice.scales_nodal(field.reshape(-1))
             leaves, treedef = jax.tree.flatten(packed)
             entry = packed_shards.setdefault(
                 k, {"treedef": treedef, "leaves": []}

@@ -103,3 +103,38 @@ def test_streamed_grid_implicit_2d():
     scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
     assert np.max(np.abs(u_st - np.asarray(u_ref))) / scale < 1e-11
     assert solver.model.cg_stats["max_iterations"] >= 1
+
+
+def test_streamed_grid_sponge_2d():
+    """Sponge (nodal-δ stiffness) through the streamed per-block setup:
+    δ is pointwise (not additively assembled), shipped without interface
+    exchange; m (with the δ-weighted ABC facet term) streams through the
+    SHARD_INV_KEYS sum-then-invert path."""
+    from fenicsxfus_tpu import LinearSpectralSponge
+
+    grid = (8, 5)
+    Wl = 0.6
+    args = dict(degree=3, c0=1.0, rho0=1.0, delta0=1e-2, freq0=10.0, p0=1.0,
+                s0=1.0, sponge_start=0.6, dtype=jnp.float64)
+
+    gmesh = _tags(create_rectangle(grid, (0, 0), (L, Wl)))
+    gm = LinearSpectralSponge(gmesh, None, **args)
+    gm.dt = 4e-4
+    gm._build()
+    gm.init()
+    u_ref, _, _ = gm.rk(0.0, 0.02)
+
+    def factory(local_mesh):
+        _tags(local_mesh)
+        m = LinearSpectralSponge(local_mesh, None, **args)
+        m.dt = 4e-4
+        m._build()
+        return m
+
+    solver = build_sharded_grid(
+        factory, grid, (0.0, 0.0), (L, Wl), args["degree"], (2, 2), jnp.float64
+    )
+    solver.rk(0.0, 0.02)
+    u_st, _ = solver.global_result()
+    scale = np.max(np.abs(np.asarray(u_ref))) + 1e-300
+    assert np.max(np.abs(u_st - np.asarray(u_ref))) / scale < 1e-11
