@@ -253,6 +253,69 @@ def focal_reference(sc, bm):
     return {"focal_p": pk, "focal_x": xpk, "ext6": ext}
 
 
+PUBLISHED_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "published_values.json"
+)
+
+
+def published_values(sc, bm):
+    """Focal metrics reported by the Aubry et al. (2022) intercomparison
+    (J. Acoust. Soc. Am. 152, 1003), if a transcription is available.
+
+    The tables themselves are NOT committed: this build environment has no
+    network egress, and numbers that cannot be checked against the actual
+    paper/ supplementary repository (ucl-bug/transcranial-ultrasound-
+    benchmarks) would be fabricated data — worse than the gap.  Instead
+    this loader reads ``published_values.json`` next to this file when
+    someone with access to the paper drops it in.  Schema (all fields
+    required so provenance is never lost):
+
+        {"SC1-BM1": {"source": "doi:10.1121/10.0013426, Table III",
+                     "code": "KWAVE",
+                     "focal_p_Pa": ..., "focal_x_m": ..., "ext6_m": ...},
+         ...}
+
+    Until then the water benchmarks are gated against the EXACT closed
+    forms (O'Neil / two-ray piston — the same ground truth the
+    intercomparison's water cases are judged against), and the skull cases
+    against the 1D impedance-transfer transmission model."""
+    if not os.path.exists(PUBLISHED_FILE):
+        return None
+    with open(PUBLISHED_FILE) as f:
+        table = json.load(f)
+    ent = table.get(f"SC{sc}-BM{bm}")
+    if ent is None:
+        return None
+    missing = {"source", "code", "focal_p_Pa", "focal_x_m", "ext6_m"} - set(ent)
+    if missing:
+        raise ValueError(
+            f"published_values.json SC{sc}-BM{bm}: missing fields {missing} "
+            "(provenance is required; see published_values docstring)"
+        )
+    return ent
+
+
+def published_comparison(sc, bm, x, amp):
+    """Deltas vs a transcribed intercomparison entry (when available)."""
+    ent = published_values(sc, bm)
+    if ent is None:
+        return None
+    pk, xpk, ext = focal_metrics(x, amp)
+    out = {
+        "published": ent,
+        "measured": {"focal_p": pk, "focal_x": xpk, "ext6": ext},
+        "dp_rel": float(abs(pk - ent["focal_p_Pa"]) / ent["focal_p_Pa"]),
+        "dx_mm": float(abs(xpk - ent["focal_x_m"]) * 1e3),
+        "dext_rel": float(abs(ext - ent["ext6_m"]) / ent["ext6_m"]),
+    }
+    print(
+        f"  vs published ({ent['code']}, {ent['source']}): "
+        f"dP {out['dp_rel']*100:.2f}%  dx {out['dx_mm']:.2f} mm  "
+        f"dext {out['dext_rel']*100:.1f}%"
+    )
+    return out
+
+
 def focal_comparison(sc, bm, x, amp):
     """Measured-vs-reference focal metric deltas for a water benchmark."""
     ref = focal_reference(sc, bm)
@@ -288,6 +351,9 @@ def validate(sc, bm, nx, nx_fine, dtype=None, out=None):
     fc = focal_comparison(sc, bm, x, amp)
     if fc is not None:
         stamp["focal"] = fc
+    pc = published_comparison(sc, bm, x, amp)
+    if pc is not None:
+        stamp["published"] = pc
     tc = None
     if BM_LAYERS[bm] and not common.BM_CURVED[bm]:
         xw, ampw, *_ = _run_profile(sc, 1, nx, dtype=dtype)

@@ -236,3 +236,39 @@ def test_harmonic_resolved_h131_artifact():
     meta = res["meta"]
     assert abs(meta["f0"] - 1.1e6) < 1e3
     assert meta["degree"] >= 5 and meta["ndofs"] > 50_000_000
+
+
+def test_published_values_loader_schema():
+    """The published-values loader (benchmarks/ph1/validate.py) enforces
+    provenance: entries without source/code/metric fields are rejected, a
+    missing file or benchmark yields None (closed-form gates remain the
+    active validation), and a complete entry produces the delta record."""
+    import json as _json
+    import tempfile
+
+    from benchmarks.ph1 import validate as V
+
+    orig = V.PUBLISHED_FILE
+    try:
+        V.PUBLISHED_FILE = "/nonexistent/published.json"
+        assert V.published_values(1, 1) is None
+
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+            _json.dump({"SC1-BM1": {"code": "KWAVE", "focal_p_Pa": 1.0e6}}, f)
+            V.PUBLISHED_FILE = f.name
+        with pytest.raises(ValueError, match="provenance"):
+            V.published_values(1, 1)
+        assert V.published_values(1, 2) is None  # absent benchmark -> None
+
+        with open(V.PUBLISHED_FILE, "w") as f:
+            _json.dump({"SC1-BM1": {
+                "source": "doi:10.1121/10.0013426, Table III",
+                "code": "KWAVE", "focal_p_Pa": 1.0e6,
+                "focal_x_m": 0.0635, "ext6_m": 0.020}}, f)
+        x = np.linspace(0.0, 0.12, 2001)
+        amp = 1.0e6 * np.exp(-((x - 0.0635) / 0.009) ** 2)
+        rec = V.published_comparison(1, 1, x, amp)
+        assert rec is not None
+        assert rec["dp_rel"] < 1e-3 and rec["dx_mm"] < 0.1
+    finally:
+        V.PUBLISHED_FILE = orig
