@@ -302,19 +302,22 @@ def production(nx):
     print(report(rungs=((nx, "v3"), (nx, "wave"), (nx, "xla"))))
     print(flush=True)
 
+    tier_timeout = float(os.environ.get("FUS_SMOKE_TIER_TIMEOUT", "900"))
+    only = os.environ.get("FUS_SMOKE_TIERS", "")
+    tiers = [t for t in PROD_TIERS if not only or t in only.split(",")]
     results = []
-    for tier in PROD_TIERS:
+    for tier in tiers:
         t0 = time.perf_counter()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--production-tier", tier, "--nx", str(nx)],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=tier_timeout,
             )
             ok = r.returncode == 0 and f"PASS" in r.stdout
             msg = "" if ok else (r.stderr.strip().splitlines() or ["?"])[-1][:160]
         except subprocess.TimeoutExpired:
-            ok, msg = False, "timeout >900s"
+            ok, msg = False, f"timeout >{tier_timeout:.0f}s"
         dt = time.perf_counter() - t0
         results.append((tier, ok, dt, msg))
         print(f"{'PASS' if ok else 'FAIL'} production/{tier} nx={nx} "

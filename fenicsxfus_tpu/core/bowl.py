@@ -154,6 +154,16 @@ def create_bowl_box(
         y2d[mj, mk] = a * np.cos(th2)
         z2d[mj, mk] = a * np.sin(th2)
 
+    # inscribed-polygon footprint area — the O(h²) cap-area reference the
+    # staircase-corner compensation below restores exactly
+    _rj, _rk = np.nonzero(mark)
+    _th = np.arctan2(z2d[_rj, _rk], y2d[_rj, _rk])
+    _o = np.argsort(_th, kind="stable")
+    _yv, _zv = y2d[_rj, _rk][_o], z2d[_rj, _rk][_o]
+    _area_inscribed = 0.5 * abs(
+        np.sum(_yv * np.roll(_zv, -1) - np.roll(_yv, -1) * _zv)
+    )
+
     # local relaxation: a snap can squeeze a neighbouring edge to ~0.1 h,
     # which would shrink h_min (and the explicit CFL dt) ~4x. A few
     # Laplace-smoothing passes over the UNsnapped vertices within a
@@ -205,6 +215,45 @@ def create_bowl_box(
     pinned = mark.copy()
     pinned[0, :] = pinned[-1, :] = True
     pinned[:, 0] = pinned[:, -1] = True
+
+    # Staircase corners (round 5): in diagonal rim regions THREE corners
+    # of one lattice quad are rim-snapped — three points on a convex arc
+    # are nearly collinear, so that quad's corner angle at the middle
+    # vertex is ~180° and its compression metric (and with it the cell
+    # stiffness spectral radius) blows up by ~(a/h)² regardless of the
+    # min-gap spacing (measured 450x uniform at nx=32 H101; these ~60
+    # quads alone clamp the production bowl dt, benchmarks/
+    # bowl_spectrum.py).  No repositioning ALONG the circle can fix a
+    # 3-on-arc quad, so the middle vertex of every such corner is
+    # UNPINNED: it stays snapped (starts on the circle) but the repair
+    # passes below may pull it off-circle to open the angle.  The tagged
+    # cap polygon then cuts these few corners by O(h) — an O(h²)-total
+    # cap-area perturbation (O(h)·h per corner × O(1) corners per
+    # quadrant), gated by the O'Neil focal-gain test like every other
+    # bowl-geometry choice.
+    q3 = (
+        mark[:-1, :-1].astype(int) + mark[1:, :-1]
+        + mark[:-1, 1:] + mark[1:, 1:]
+    ) >= 3
+    soft = np.zeros_like(mark)
+    jj, kk = np.nonzero(q3)
+    for j, k in zip(jj, kk):
+        # the middle vertex is the marked corner adjacent (in the lattice)
+        # to two other marked corners of this quad
+        corners = [(j, k), (j + 1, k), (j, k + 1), (j + 1, k + 1)]
+        for (cj, ck) in corners:
+            if not mark[cj, ck]:
+                continue
+            nadj = sum(
+                1
+                for (oj, ok) in corners
+                if mark[oj, ok] and abs(oj - cj) + abs(ok - ck) == 1
+            )
+            if nadj >= 2:
+                soft[cj, ck] = True
+    soft[0, :] = soft[-1, :] = False
+    soft[:, 0] = soft[:, -1] = False
+    pinned &= ~soft
     for _ in range(40):
         q = _quad_corner_det(y2d, z2d)
         bad = q < floor2d
@@ -227,6 +276,142 @@ def create_bowl_box(
         z2d[1:-1, 1:-1] = np.where(
             b, 0.5 * z2d[1:-1, 1:-1] + 0.5 * zn, z2d[1:-1, 1:-1]
         )
+
+    # SPECTRAL repair (round 5): the detJ floor above bounds area collapse
+    # but not COMPRESSION — a quad at 0.3x area squeezed 3x in one
+    # direction keeps detJ healthy while its cell stiffness spectral
+    # radius grows ~9x, and exactly such quads (the 1-2 vertex rings just
+    # outside the snapped rim, where the snap displacement lands) were
+    # measured to clamp the production bowl dt by 1.77x
+    # (benchmarks/bowl_spectrum.py: per-cell lambda with global assembled
+    # mass localizes at r/a ~ 1.05-1.08, layers 0-2; everywhere else the
+    # band is STRETCHED, lambda/uniform median ~0.5).  Per-quad metric:
+    # max over corners of trace(J^-1 J^-T)·detJ-normalised — i.e.
+    # (|e1|^2+|e2|^2)/det(e1,e2)^2, which bounds the squared max
+    # compression sigma_max(J^-1)^2.  Relax unsnapped vertices of quads
+    # exceeding FUS_BOWL_SPECTRAL_TAU x the uniform value (rim ring and
+    # walls stay pinned, so the tagged polygon, cap area, and the domain
+    # shape are unaffected — the pass only redistributes the snap squeeze
+    # over neighbouring rings).
+    def _quad_corner_compression(y, z):
+        """[ny, nz] per-quad max over corners of (|e1|^2+|e2|^2)/det^2."""
+        p = np.stack([y, z], axis=-1)
+        v00, v10 = p[:-1, :-1], p[1:, :-1]
+        v01, v11 = p[:-1, 1:], p[1:, 1:]
+
+        def cross(a_, b_):
+            return a_[..., 0] * b_[..., 1] - a_[..., 1] * b_[..., 0]
+
+        def sq(a_):
+            return a_[..., 0] ** 2 + a_[..., 1] ** 2
+
+        worst = None
+        for c0, c1, c2 in ((v00, v10, v01), (v10, v11, v00),
+                           (v11, v01, v10), (v01, v00, v11)):
+            e1, e2 = c1 - c0, c2 - c0
+            det = np.abs(cross(e1, e2))
+            m = (sq(e1) + sq(e2)) / np.maximum(det, 1e-300) ** 2
+            worst = m if worst is None else np.maximum(worst, m)
+        return worst
+
+    import os as _os
+
+    tau = float(_os.environ.get("FUS_BOWL_SPECTRAL_TAU", "1.5"))
+    dbg = _os.environ.get("FUS_BOWL_DEBUG", "")
+    comp_u = (hy * hy + hz * hz) / (hy * hz) ** 2
+    for _it in range(120):
+        m2 = _quad_corner_compression(y2d, z2d)
+        bad = m2 > tau * comp_u
+        if dbg and (_it < 3 or _it == 119 or not bad.any()):
+            jw = np.unravel_index(np.argmax(m2), m2.shape)
+            print(f"[bowl spectral] it={_it} bad={int(bad.sum())} "
+                  f"max={m2.max()/comp_u:.1f}x at quad {jw} "
+                  f"(y={0.5*(y2d[jw]+y2d[jw[0]+1,jw[1]+1])*1e3:.1f}mm "
+                  f"z={0.5*(z2d[jw]+z2d[jw[0]+1,jw[1]+1])*1e3:.1f}mm)")
+        if not bad.any():
+            break
+        vbad = np.zeros_like(mark)
+        vbad[:-1, :-1] |= bad
+        vbad[1:, :-1] |= bad
+        vbad[:-1, 1:] |= bad
+        vbad[1:, 1:] |= bad
+        # include the first ring of neighbours so the squeeze can spread
+        vb = vbad.copy()
+        vbad[1:, :] |= vb[:-1, :]
+        vbad[:-1, :] |= vb[1:, :]
+        vbad[:, 1:] |= vb[:, :-1]
+        vbad[:, :-1] |= vb[:, 1:]
+        vbad &= ~pinned
+        yn = 0.25 * (y2d[:-2, 1:-1] + y2d[2:, 1:-1]
+                     + y2d[1:-1, :-2] + y2d[1:-1, 2:])
+        zn = 0.25 * (z2d[:-2, 1:-1] + z2d[2:, 1:-1]
+                     + z2d[1:-1, :-2] + z2d[1:-1, 2:])
+        b = vbad[1:-1, 1:-1]
+        y2d[1:-1, 1:-1] = np.where(
+            b, 0.5 * y2d[1:-1, 1:-1] + 0.5 * yn, y2d[1:-1, 1:-1]
+        )
+        z2d[1:-1, 1:-1] = np.where(
+            b, 0.5 * z2d[1:-1, 1:-1] + 0.5 * zn, z2d[1:-1, 1:-1]
+        )
+    # the compression pass must not undo the area floor: rerun the detJ
+    # guard once (it converges in a few sweeps when triggered at all)
+    for _ in range(40):
+        q = _quad_corner_det(y2d, z2d)
+        bad = q < floor2d
+        if not bad.any():
+            break
+        vbad = np.zeros_like(mark)
+        vbad[:-1, :-1] |= bad
+        vbad[1:, :-1] |= bad
+        vbad[:-1, 1:] |= bad
+        vbad[1:, 1:] |= bad
+        vbad &= ~pinned
+        yn = 0.25 * (y2d[:-2, 1:-1] + y2d[2:, 1:-1]
+                     + y2d[1:-1, :-2] + y2d[1:-1, 2:])
+        zn = 0.25 * (z2d[:-2, 1:-1] + z2d[2:, 1:-1]
+                     + z2d[1:-1, :-2] + z2d[1:-1, 2:])
+        b = vbad[1:-1, 1:-1]
+        y2d[1:-1, 1:-1] = np.where(
+            b, 0.5 * y2d[1:-1, 1:-1] + 0.5 * yn, y2d[1:-1, 1:-1]
+        )
+        z2d[1:-1, 1:-1] = np.where(
+            b, 0.5 * z2d[1:-1, 1:-1] + 0.5 * zn, z2d[1:-1, 1:-1]
+        )
+
+    # Area compensation for the unpinned staircase corners: each soft
+    # vertex ended a distance delta OUTSIDE the circle (opening its ~180°
+    # arc angle), bulging the tagged cap footprint.  With O(1/h) staircase
+    # corners on a digitized circle the total bulge is an O(h) area error
+    # — one order worse than the inscribed polygon
+    # (test_cap_area_converges).  Restore the footprint EXACTLY: shoelace
+    # the boundary ring (angular order) before and after the repairs and
+    # rescale the whole ring radially by sqrt(A_target/A_now).  Uniform
+    # scaling is conformal — the opened corner angles are preserved — and
+    # the scale is ~1-O(h²) (every pinned vertex moves ~1e-3·h), so
+    # neither the spectral repair nor the cap fit degrades.
+    def _ring_area():
+        rj, rk = np.nonzero(mark)
+        yv, zv = y2d[rj, rk], z2d[rj, rk]
+        th_r = np.arctan2(zv, yv)
+        o = np.argsort(th_r, kind="stable")
+        yv, zv = yv[o], zv[o]
+        return 0.5 * abs(
+            np.sum(yv * np.roll(zv, -1) - np.roll(yv, -1) * zv)
+        )
+
+    area_target = _area_inscribed
+    if len(np.nonzero(soft)[0]):
+        a_now = _ring_area()
+        if a_now > 0:
+            sfac = np.sqrt(area_target / a_now)
+            rj, rk = np.nonzero(mark)
+            y2d[rj, rk] *= sfac
+            z2d[rj, rk] *= sfac
+            if dbg:
+                print(f"[bowl ring] soft={int(soft.sum())} "
+                      f"A_inscribed={area_target:.6f} A_now={a_now:.6f} "
+                      f"sfac={sfac:.6f} A_after={_ring_area():.6f} "
+                      f"disc={np.pi*a*a:.6f}")
 
     # Lateral snap FADES with depth (same blend as the x-deformation):
     # vertices at x = x0 get the full rim fit (the tagged cap layer), and
@@ -277,10 +462,22 @@ def create_bowl_box(
     tags = {tag_source: on_cap}
     tag_boundaries(mesh, tags, default=tag_other)
 
-    # deform: pull the near-face vertices back onto the cap
+    # deform: pull the near-face vertices back onto the cap.  RING-column
+    # vertices (the footprint boundary, incl. the off-circle staircase
+    # corners) continue the SPHERE for r slightly beyond a instead of
+    # flattening at s=0 — otherwise each bulged corner carries a flat
+    # patch and the tagged surface area degrades from O(h²) to O(h)
+    # (test_cap_area_converges).  Non-ring baffle vertices keep s=0.
     v = mesh.vertices.copy()
+    # lattice indices by the structured vertex ordering (positions are
+    # already laterally deformed here — rint would misround snapped rows)
+    _, gy, gz = np.indices((n[0] + 1, ny1, nz1))
+    iy_v, iz_v = gy.reshape(-1), gz.reshape(-1)
+    on_ring = mark[iy_v, iz_v]
     r = np.hypot(v[:, 1] - center_yz[0], v[:, 2] - center_yz[1])
-    s = np.where(r < a, xf - np.sqrt(np.maximum(R * R - r * r, 0.0)), 0.0)
+    s_sphere = xf - np.sqrt(np.maximum(R * R - r * r, 0.0))
+    ext = on_ring & (r < min(a + 2.0 * max(hy, hz), 0.95 * R))
+    s = np.where((r < a) | ext, s_sphere, 0.0)
     fade = _fade((v[:, 0] - x0) / blend)
     v[:, 0] += s * fade
     mesh.vertices = v
