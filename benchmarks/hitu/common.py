@@ -177,9 +177,14 @@ def build_bowl_model(kind: str, tx: str, medium: str, nx: int,
         g["roc"], g["a"], blend=blend, lateral_hold=hold,
     )
 
-    # CFL on the true (snapped/deformed) minimum edge, rounded to integer
-    # steps per period (reference main.cpp:108-111)
-    dt_cfl = cfl * mesh.h_min() / (c0 * degree**2)
+    # CFL accuracy heuristic on the UNIFORM spacing (reference
+    # main.cpp:108-111), exactly like the flat-aperture path: stability on
+    # the deformed mesh is governed by the MEASURED operator spectrum
+    # (clamp below), so also shrinking the heuristic by h_min double-counts
+    # the deformation — through round 4 that double-count plus the
+    # staircase-corner spectral clamp held the bowl at 211 vs the flat
+    # path's 119 steps/period (benchmarks/PERFORMANCE.md)
+    dt_cfl = cfl * h / (c0 * degree**2)
     spp = int(1 / f0 / dt_cfl) + 1
     dt = 1 / f0 / spp
 
